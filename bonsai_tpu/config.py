@@ -1,0 +1,11 @@
+"""Global JAX configuration for bonsai-tpu.
+
+k-mers are 64-bit packed integers (2 bits/base, k <= 32).  We enable x64 so
+jnp.uint64 is a first-class dtype; on TPU, XLA lowers 64-bit integer ops onto
+paired 32-bit lanes.  Hot Pallas kernels use explicit (hi, lo) uint32 pairs
+instead and are unaffected by this flag.
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
