@@ -1,0 +1,132 @@
+"""Classification output formatting (host).
+
+Byte-exact Kraken-style and FASTQ re-emission formats
+(/root/reference/include/bonsai/classifier.h:112-129,339-412):
+
+kraken record:
+    C|U \t name \t taxon \t len \t [M:missing \t] [A:ambig \t] runs\n
+where runs are run-length encoded consecutive *hit* taxids "tax:count"
+joined by tabs (special taxid codes: 0 -> 'U', 0xFFFFFFFF -> 'A'), or the
+literal "0:0" when unclassified.
+
+ambig_count replicates the reference's unsigned arithmetic
+(classifier.h:232-235): u32(l - c + 1 - n_hits - n_missing), which can wrap
+for short reads; we reproduce the wrap.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+TAX_AMBIG = 0xFFFFFFFF
+
+
+def _runs(taxa: np.ndarray) -> List[str]:
+    """RLE of the hit-taxa sequence."""
+    parts = []
+    if taxa.size == 0:
+        return parts
+    change = np.nonzero(np.diff(taxa))[0]
+    starts = np.concatenate([[0], change + 1])
+    ends = np.concatenate([change + 1, [taxa.size]])
+    for s, e in zip(starts, ends):
+        t = int(taxa[s])
+        if t == 0:
+            code = "U"
+        elif t == TAX_AMBIG:
+            code = "A"
+        else:
+            code = str(t)
+        parts.append(f"{code}:{e - s}")
+    return parts
+
+
+def format_read(
+    name: str,
+    taxon: int,
+    length: int,
+    missing: int,
+    ambig: int,
+    hit_taxa: np.ndarray,
+) -> str:
+    cols = [
+        "C" if taxon else "U",
+        name,
+        str(taxon),
+        str(length),
+    ]
+    if missing:
+        cols.append(f"M:{missing}")
+    if ambig:
+        cols.append(f"A:{ambig}")
+    if taxon:
+        cols.extend(_runs(hit_taxa))
+        return "\t".join(cols) + "\n"
+    return "\t".join(cols) + "\t0:0\n"
+
+
+def format_batch(
+    res,
+    comb_size: int,
+    is_paired: bool = False,
+    emit_all: bool = False,
+    emit_kraken: bool = True,
+    emit_fastq: bool = False,
+) -> str:
+    """res: classify.pipeline.BatchResult."""
+    out: List[str] = []
+    B = len(res.names)
+    stride = 2 if is_paired else 1
+    for i in range(0, B, stride):
+        taxon = int(res.taxon[i])
+        if not (emit_all or taxon):
+            continue
+        hits = res.taxa[i][res.hit_mask[i]]
+        n_hits = hits.size
+        missing = int(res.n_missing[i])
+        l1 = int(res.lengths[i])
+        # reference computes this in unsigned arithmetic and can underflow
+        # for reads shorter than the seed span (classifier.h:232); wrap
+        # explicitly (numpy 2 raises on negative uint32 construction)
+        ambig = (l1 - comb_size + 1 - n_hits - missing) & 0xFFFFFFFF
+        if is_paired:
+            # reference adds the mate contribution after merging counts
+            l2 = int(res.lengths[i + 1])
+            ambig = (ambig + l2 - (comb_size - 1) - n_hits - missing) & 0xFFFFFFFF
+        name = res.names[i].decode("utf-8", "replace")
+        if emit_fastq:
+            comment = _fastq_comment(
+                taxon, l1, missing, int(ambig), hits, emit_kraken
+            )
+            out.append(f"{name} {comment}\n")
+            out.append(res.seqs[i].decode("ascii", "replace") + "\n+\n")
+            q = res.quals[i] if res.quals and res.quals[i] else res.seqs[i]
+            out.append(q.decode("ascii", "replace") + "\n")
+            if is_paired:
+                name2 = res.names[i + 1].decode("utf-8", "replace")
+                out.append(f"{name2} {comment}\n")
+                out.append(res.seqs[i + 1].decode("ascii", "replace") + "\n+\n")
+                q2 = res.quals[i + 1] if res.quals and res.quals[i + 1] else res.seqs[i + 1]
+                out.append(q2.decode("ascii", "replace") + "\n")
+        elif emit_kraken:
+            out.append(
+                format_read(name, taxon, l1, missing, int(ambig), hits)
+            )
+    return "".join(out)
+
+
+def _fastq_comment(taxon, length, missing, ambig, hits, verbose) -> str:
+    cols = ["C" if taxon else "U", str(taxon), str(length)]
+    if missing:
+        cols.append(f"M:{missing}")
+    if ambig:
+        cols.append(f"A:{ambig}")
+    s = "\t".join(cols)
+    if verbose:
+        if taxon:
+            s += "\t" + "\t".join(_runs(hits))
+        else:
+            s += "\t0:0"
+    return s

@@ -1,0 +1,189 @@
+"""The classifier: batched encode -> table probe -> resolve, under jit.
+
+TPU-native redesign of ClassifierGeneric / classify_seq / process_dataset
+(/root/reference/include/bonsai/classifier.h:131-337).  The reference farms
+32-read slices across a work-stealing thread pool, each read probing a
+shared khash; here a whole read batch is one traced device computation:
+
+  codes (B, L) --encode--> kmers (B, P) --probe--> compact taxids (B, P)
+              --interval-rank resolve--> taxon (B,)
+
+Per the reference CLI, classification always runs unwindowed with w = k
+regardless of the DB's build window (bin/bonsai.cpp:152 passes db.k_ for
+wsz), canonical by default.
+
+Host side handles FASTA/FASTQ batching and text output; device-host overlap
+comes from jax's async dispatch (the next batch is encoded while the device
+classifies the current one).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from ..core.alphabet import InputType, alphabet_of
+from ..core.encoder import BatchEncoder
+from ..core.spacer import Spacer
+from ..db.formats import Database
+from ..io import fastx
+from ..taxonomy.tree import TaxTree
+from . import output as out_mod
+from .resolve import resolve_batch
+
+
+@dataclass
+class BatchResult:
+    names: List[bytes]
+    seqs: List[bytes]
+    quals: List[Optional[bytes]]
+    lengths: np.ndarray  # (B,)
+    taxon: np.ndarray  # (B,) original taxids, 0 = unclassified
+    taxa: np.ndarray  # (B, P) original taxids of DB hits (per kmer pos)
+    hit_mask: np.ndarray  # (B, P)
+    n_missing: np.ndarray  # (B,)
+    n_kmers: np.ndarray  # (B,) valid kmers per read
+
+
+class Classifier:
+    def __init__(
+        self,
+        db: Database,
+        tree: TaxTree,
+        canonicalize: bool = True,
+        emit_all: bool = False,
+        emit_kraken: bool = True,
+        emit_fastq: bool = False,
+        input_type: InputType = InputType.DNA,
+    ):
+        # classify always uses w = k (bin/bonsai.cpp:152)
+        self.sp = Spacer(db.k, db.k, db.gaps)
+        self.enc = BatchEncoder(self.sp, canonicalize, "lex", input_type)
+        self.db = db
+        self.tree = tree
+        self.emit_all = emit_all
+        self.emit_kraken = emit_kraken
+        self.emit_fastq = emit_fastq
+        self.lut = alphabet_of(InputType(input_type)).lut
+        self.n_classified = 0
+        self.n_unclassified = 0
+        # device-resident state
+        import jax.numpy as jnp
+
+        table = db.table
+        compact_vals = tree.compact(table.vals_sorted, missing_ok=True)
+        self._vals_compact = jnp.asarray(table.relabel(compact_vals.astype(np.int32)))
+        self._vals_orig = jnp.asarray(table.relabel(table.vals_sorted.astype(np.uint32)))
+        self._table_arrays = table.device_arrays()
+        self._tax = tree.device_arrays()
+        self._step_cache = {}
+
+    # -- jitted device step ----------------------------------------------
+    def _make_step(self):
+        import jax
+        import jax.numpy as jnp
+
+        table = self.db.table
+        enc = self.enc
+        tax = self._tax
+
+        @jax.jit
+        def step(codes, lengths, t_keys, t_occ, vals_compact, vals_orig):
+            em = enc.emissions(codes, lengths)
+            kmers, valid = em.values, em.mask
+            arrays = dict(keys=t_keys, vals=vals_compact, occbits=t_occ)
+            cidx, found = table.probe_device(kmers, arrays=arrays)
+            oidx, _ = table.probe_device(
+                kmers, arrays=dict(keys=t_keys, vals=vals_orig, occbits=t_occ)
+            )
+            hit = valid & found
+            miss = valid & ~found
+            cidx = jnp.where(hit, cidx, 0)
+            taxon_c = resolve_batch(cidx, hit, tax)
+            taxon = tax["tax_ids"][taxon_c]
+            taxa = jnp.where(hit, oidx, 0).astype(jnp.uint32)
+            return (
+                taxon,
+                taxa,
+                hit,
+                miss.sum(axis=-1).astype(jnp.int32),
+                valid.sum(axis=-1).astype(jnp.int32),
+            )
+
+        return step
+
+    def _step(self):
+        if "fn" not in self._step_cache:
+            self._step_cache["fn"] = self._make_step()
+        return self._step_cache["fn"]
+
+    # -- per-batch --------------------------------------------------------
+    def classify_batch(self, batch: fastx.ReadBatch) -> BatchResult:
+        import jax.numpy as jnp
+
+        step = self._step()
+        taxon, taxa, hit, n_missing, n_kmers = step(
+            jnp.asarray(batch.codes),
+            jnp.asarray(batch.lengths),
+            self._table_arrays["keys"],
+            self._table_arrays["occbits"],
+            self._vals_compact,
+            self._vals_orig,
+        )
+        taxon = np.asarray(taxon)
+        self.n_classified += int((taxon != 0).sum())
+        self.n_unclassified += int((taxon == 0).sum())
+        return BatchResult(
+            names=batch.names,
+            seqs=batch.seqs,
+            quals=batch.quals,
+            lengths=batch.lengths,
+            taxon=taxon,
+            taxa=np.asarray(taxa),
+            hit_mask=np.asarray(hit),
+            n_missing=np.asarray(n_missing),
+            n_kmers=np.asarray(n_kmers),
+        )
+
+    # -- full dataset ------------------------------------------------------
+    def process_dataset(
+        self,
+        path: str,
+        out_fh,
+        mate_path: Optional[str] = None,
+        batch_size: int = 4096,
+    ):
+        """Classify a FASTA/FASTQ file (optionally paired) and write text
+        output (process_dataset, classifier.h:296-337)."""
+        is_paired = mate_path is not None
+        for batch in fastx.batch_reads(
+            path, self.lut, batch_size=batch_size, mate_path=mate_path
+        ):
+            res = self.classify_batch(batch)
+            text = out_mod.format_batch(
+                res,
+                self.sp.c,
+                is_paired=is_paired,
+                emit_all=self.emit_all,
+                emit_kraken=self.emit_kraken,
+                emit_fastq=self.emit_fastq,
+            )
+            out_fh.write(text)
+
+    def classify_reads(self, seqs: List[bytes]) -> np.ndarray:
+        """Convenience: classify raw sequences -> original taxids."""
+        maxlen = max(len(s) for s in seqs)
+        L = fastx._bucket_len(maxlen)
+        codes = np.full((len(seqs), L), -1, dtype=np.int8)
+        lengths = np.empty(len(seqs), dtype=np.int32)
+        for i, s in enumerate(seqs):
+            codes[i, : len(s)] = self.lut[np.frombuffer(s, dtype=np.uint8)]
+            lengths[i] = len(s)
+        batch = fastx.ReadBatch(
+            names=[b""] * len(seqs), seqs=seqs, codes=codes, lengths=lengths,
+            quals=[None] * len(seqs),
+        )
+        return self.classify_batch(batch).taxon

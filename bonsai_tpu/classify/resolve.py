@@ -1,0 +1,83 @@
+"""Batched resolve_tree on device.
+
+The reference walks parent pointers per distinct hit taxon
+(util.h:831-869).  With Euler-tour interval labels the leaf-to-root path
+weight of taxon t over the hit multiset Q is a pairwise ancestor test:
+
+    score(t) = #{q in Q : tin[q] <= tin[t] <= tout[q]}
+
+evaluated as a dense (P, P) comparison matrix per read — at P ~ 100-300
+hit positions that is ~1e8 boolean VPU ops per large batch, fuses into a
+handful of elementwise kernels, and avoids data-dependent sorts entirely
+(a sort/searchsorted formulation compiled 10x slower on TPU).
+
+Tie resolution (max-score set -> LCA of the set) uses the preorder-interval
+fact LCA(S) = LCA(argmin tin, argmax tin), computed by vectorized binary
+lifting over the whole batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def lca_device(a_idx, b_idx, tax):
+    """Vectorized pairwise LCA over compact indices (0 = none).
+
+    tax: TaxTree.device_arrays() dict (parent, depth, lift)."""
+    lift, depth = tax["lift"], tax["depth"]
+    a = a_idx.astype(jnp.int32)
+    b = b_idx.astype(jnp.int32)
+    a0, b0 = a, b
+    da = depth[a]
+    db = depth[b]
+    levels = lift.shape[0]
+    for j in range(levels - 1, -1, -1):
+        step = 1 << j
+        la = (da - db) >= step
+        a = jnp.where(la, lift[j][a], a)
+        da = jnp.where(la, da - step, da)
+        lb = (db - da) >= step
+        b = jnp.where(lb, lift[j][b], b)
+        db = jnp.where(lb, db - step, db)
+    neq = a != b
+    for j in range(levels - 1, -1, -1):
+        pa = lift[j][a]
+        pb = lift[j][b]
+        move = neq & (pa != pb)
+        a = jnp.where(move, pa, a)
+        b = jnp.where(move, pb, b)
+    res = jnp.where(neq, tax["parent"][a], a)
+    res = jnp.where(a0 == 0, b0, res)
+    res = jnp.where(b0 == 0, jnp.where(a0 == 0, 0, a0), res)
+    return res
+
+
+def resolve_batch(hit_idx, hit_mask, tax):
+    """hit_idx: (B, P) compact taxonomy indices of DB hits; hit_mask: (B, P).
+
+    Returns (B,) compact index of the resolved taxon (0 = unclassified)."""
+    tin, tout = tax["tin"], tax["tout"]
+    B, P = hit_idx.shape
+    n = tin.shape[0]
+    BIG = jnp.int32(n + 2)
+    t_in = jnp.where(hit_mask, tin[hit_idx], BIG)
+    t_out = jnp.where(hit_mask, tout[hit_idx], -2)
+    # anc[b, q, p]: hit q is an ancestor-or-self of hit p
+    anc = (t_in[:, :, None] <= t_in[:, None, :]) & (
+        t_in[:, None, :] <= t_out[:, :, None]
+    )
+    score = jnp.sum(anc, axis=1).astype(jnp.int32)
+    score = jnp.where(hit_mask, score, -1)
+    best = jnp.max(score, axis=-1)
+    tied = (score == best[:, None]) & hit_mask
+    tin_masked_min = jnp.where(tied, t_in, BIG)
+    tin_masked_max = jnp.where(tied, t_in, -1)
+    i_min = jnp.argmin(tin_masked_min, axis=-1)
+    i_max = jnp.argmax(tin_masked_max, axis=-1)
+    a = jnp.take_along_axis(hit_idx, i_min[:, None], axis=-1)[:, 0]
+    b = jnp.take_along_axis(hit_idx, i_max[:, None], axis=-1)[:, 0]
+    taxon = lca_device(a, b, tax)
+    any_hit = jnp.any(hit_mask, axis=-1)
+    return jnp.where(any_hit, taxon, 0)

@@ -1,0 +1,295 @@
+"""Database construction pipelines.
+
+TPU-native re-design of the reference build farm
+(/root/reference/include/bonsai/feature_min.h:93-281): where the reference
+runs an async thread farm of per-genome khash fills folded into a global map
+under CAS, here each genome streams through the batched device encoder into
+a sorted distinct-minimizer set, and the global merge is a *deterministic*
+sort + segment-fold — LCA is associative and commutative, so no locks, no
+CAS, and bit-reproducible output regardless of scheduling.
+
+Value packings (feature_min.h:10-20):
+  tax-depth : ((~0 - depth) << 32) | taxid   (deeper = smaller = "better")
+  feature ct: (count << 32) | taxid
+
+Note two reference bugs implemented here as *intended* rather than as coded:
+update_td_map's initial insert reads a value from the wrong table
+(feature_min.h:241) and update_feature_counter stores node_depth in the
+taxid field and never increments the count (feature_min.h:261-262); we store
+TDencode(depth(taxid), taxid) and (count, lca) respectively.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..core.alphabet import InputType, alphabet_of
+from ..core.encoder import BatchEncoder
+from ..core.spacer import Spacer
+from ..io import fastx
+from ..taxonomy.ncbi import parse_nameid_map, taxid_for_path
+from ..taxonomy.tree import TaxTree
+from .table import KmerTable, ScoreMap
+
+TAX_T_MAX = 0xFFFFFFFF
+
+
+def TDencode(depth, taxid):
+    return ((TAX_T_MAX - np.asarray(depth, dtype=np.uint64)) << np.uint64(32)) | np.asarray(
+        taxid, dtype=np.uint64
+    )
+
+
+def TDdepth(v):
+    return TAX_T_MAX - (np.asarray(v, dtype=np.uint64) >> np.uint64(32)).astype(np.uint32)
+
+
+def TDtax(v):
+    return (np.asarray(v, dtype=np.uint64) & np.uint64(TAX_T_MAX)).astype(np.uint32)
+
+
+def FMencode(count, taxid):
+    return (np.asarray(count, dtype=np.uint64) << np.uint64(32)) | np.asarray(
+        taxid, dtype=np.uint64
+    )
+
+
+def FMcount(v):
+    return (np.asarray(v, dtype=np.uint64) >> np.uint64(32)).astype(np.uint32)
+
+
+def FMtax(v):
+    return (np.asarray(v, dtype=np.uint64) & np.uint64(TAX_T_MAX)).astype(np.uint32)
+
+
+# -- per-genome minimizer sets ------------------------------------------------
+
+def genome_kmer_set(
+    path: str,
+    sp: Spacer,
+    canonicalize: bool = True,
+    scheme: str = "lex",
+    input_type: InputType = InputType.DNA,
+    score_map=None,
+    use_device: bool = False,
+    block: int = 1 << 22,
+) -> np.ndarray:
+    """Distinct emitted minimizers of one genome (sorted uint64).
+
+    Equivalent of fill_set_genome (feature_min.h:67-82).  Contigs are
+    encoded whole when they fit in ``block`` bases; longer contigs are
+    processed in halo-overlapped chunks (halo w-1 bases) — exact for every
+    discipline except the uncanonical windowed+N trailing edge, which only
+    applies at true contig ends and is handled there.
+    """
+    enc = BatchEncoder(sp, canonicalize, scheme, input_type, score_map)
+    lut = alphabet_of(InputType(input_type)).lut
+    pieces: List[np.ndarray] = []
+    for _, seq, _ in fastx.read_fastx(path):
+        if len(seq) < sp.c:
+            continue
+        pieces.extend(_contig_sets(enc, seq, lut, sp, block, use_device))
+    if not pieces:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(np.concatenate(pieces))
+
+
+def _contig_sets(enc, seq, lut, sp, block, use_device):
+    out = []
+    halo = sp.w - 1
+    n = len(seq)
+    step = block
+    start = 0
+    while start < n:
+        end = min(start + step + halo, n)
+        sub = seq[start:end]
+        is_last = end >= n
+        codes = fastx.encode_contig(sub, lut)[None, :]
+        lengths = np.array([len(sub)], dtype=np.int32)
+        if use_device:
+            import jax.numpy as jnp
+
+            em = enc.emissions(jnp.asarray(codes), jnp.asarray(lengths))
+            vals = np.asarray(em.values)
+            mask = np.asarray(em.mask)
+        else:
+            em = enc.emissions(codes, lengths)
+            vals, mask = np.asarray(em.values), np.asarray(em.mask)
+        if not is_last and not sp.unwindowed() and not enc.canon:
+            # windowed uncanon: drop the trailing partial emission of a
+            # non-final chunk (it is not a real contig end) — slot 0 by
+            # construction (see BatchEncoder._windowed_compacted).
+            mask = mask.copy()
+            mask[:, 0] = False
+        out.append(np.unique(vals[mask]))
+        if is_last:
+            break
+        start += step
+    return out
+
+
+# -- LCA segment-fold ---------------------------------------------------------
+
+def lca_fold_pairs(keys: np.ndarray, taxa: np.ndarray, tree: TaxTree):
+    """Reduce duplicate keys by LCA-folding their taxa.  Deterministic:
+    keys sorted, taxa folded in ascending-key stable order.  Returns sorted
+    unique (keys, taxa)."""
+    if keys.size == 0:
+        return keys.astype(np.uint64), taxa.astype(np.uint32)
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    taxa = taxa[order]
+    while True:
+        dup = np.zeros(len(keys), dtype=bool)
+        dup[1:] = keys[1:] == keys[:-1]
+        if not dup.any():
+            break
+        run_start = np.searchsorted(keys, keys, side="left")
+        off = np.arange(len(keys)) - run_start
+        merge_left = (off % 2 == 0) & np.concatenate([dup[1:], [False]])
+        li = np.nonzero(merge_left)[0]
+        taxa = taxa.copy()
+        taxa[li] = tree.lca_pairs(taxa[li], taxa[li + 1])
+        keep = np.ones(len(keys), dtype=bool)
+        keep[li + 1] = False
+        keys, taxa = keys[keep], taxa[keep]
+    return keys, taxa
+
+
+# -- map builders (make_map equivalents, feature_min.h:93-203) ----------------
+
+def _gather_genomes(
+    paths: Sequence[str],
+    sp: Spacer,
+    name_map: Dict[str, int],
+    canonicalize: bool,
+    scheme: str,
+    input_type: InputType,
+    score_map=None,
+    use_device: bool = False,
+):
+    """[(taxid, sorted distinct kmers)] per genome."""
+    out = []
+    for p in paths:
+        taxid = taxid_for_path(p, name_map)
+        kset = genome_kmer_set(p, sp, canonicalize, scheme, input_type,
+                               score_map, use_device)
+        out.append((taxid, kset))
+    return out
+
+
+def lca_map(
+    paths: Sequence[str],
+    tree: TaxTree,
+    name_map: Dict[str, int] | str,
+    sp: Spacer,
+    canonicalize: bool = True,
+    scheme: str = "lex",
+    input_type: InputType = InputType.DNA,
+    use_device: bool = False,
+) -> KmerTable:
+    """Phase-2 classify DB: kmer -> LCA taxid (feature_min.h:178-183,
+    205-228)."""
+    if isinstance(name_map, str):
+        name_map = parse_nameid_map(name_map)
+    gs = _gather_genomes(paths, sp, name_map, canonicalize, scheme,
+                         input_type, use_device=use_device)
+    keys = np.concatenate([k for _, k in gs]) if gs else np.zeros(0, np.uint64)
+    taxa = (
+        np.concatenate([np.full(len(k), t, dtype=np.uint32) for t, k in gs])
+        if gs
+        else np.zeros(0, np.uint32)
+    )
+    k, v = lca_fold_pairs(keys, taxa, tree)
+    return KmerTable(k, v.astype(np.uint32))
+
+
+def taxdepth_map(
+    paths: Sequence[str],
+    tree: TaxTree,
+    name_map: Dict[str, int] | str,
+    sp: Spacer,
+    canonicalize: bool = True,
+    input_type: InputType = InputType.DNA,
+    use_device: bool = False,
+) -> KmerTable:
+    """Phase-1 map: kmer -> TDencode(depth, lca-taxid) (feature_min.h:198-203,
+    230-250)."""
+    if isinstance(name_map, str):
+        name_map = parse_nameid_map(name_map)
+    gs = _gather_genomes(paths, sp, name_map, canonicalize, "lex", input_type,
+                         use_device=use_device)
+    keys = np.concatenate([k for _, k in gs]) if gs else np.zeros(0, np.uint64)
+    taxa = (
+        np.concatenate([np.full(len(k), t, dtype=np.uint32) for t, k in gs])
+        if gs
+        else np.zeros(0, np.uint32)
+    )
+    k, v = lca_fold_pairs(keys, taxa, tree)
+    depths = tree.depth_of(v)
+    packed = np.where(
+        v == np.uint32(TAX_T_MAX), np.uint64(1), TDencode(depths, v)
+    )
+    return KmerTable(k, packed.astype(np.uint64))
+
+
+def ftct_map(
+    paths: Sequence[str],
+    tree: TaxTree,
+    name_map: Dict[str, int] | str,
+    sp: Spacer,
+    canonicalize: bool = True,
+    input_type: InputType = InputType.DNA,
+    use_device: bool = False,
+) -> KmerTable:
+    """Phase-1 feature-count map: kmer -> (n_genomes << 32) | lca-taxid
+    (feature_min.h:192-197,251-265, as intended)."""
+    if isinstance(name_map, str):
+        name_map = parse_nameid_map(name_map)
+    gs = _gather_genomes(paths, sp, name_map, canonicalize, "lex", input_type,
+                         use_device=use_device)
+    keys = np.concatenate([k for _, k in gs]) if gs else np.zeros(0, np.uint64)
+    taxa = (
+        np.concatenate([np.full(len(k), t, dtype=np.uint32) for t, k in gs])
+        if gs
+        else np.zeros(0, np.uint32)
+    )
+    # counts: number of genomes containing the kmer
+    if keys.size:
+        uk, counts = np.unique(keys, return_counts=True)
+    else:
+        uk, counts = keys, np.zeros(0, np.int64)
+    k, v = lca_fold_pairs(keys, taxa, tree)
+    assert np.array_equal(k, uk)
+    packed = FMencode(np.minimum(counts, TAX_T_MAX), v)
+    return KmerTable(k, packed.astype(np.uint64))
+
+
+def minimized_map(
+    paths: Sequence[str],
+    phase1: KmerTable,
+    tree: TaxTree,
+    name_map: Dict[str, int] | str,
+    sp: Spacer,
+    canonicalize: bool = True,
+    input_type: InputType = InputType.DNA,
+    use_device: bool = False,
+) -> KmerTable:
+    """Phase-2 from phase-1: re-encode with score::Hash ordering (phase-1
+    scores) and copy the low-32 (taxid) value for selected kmers
+    (feature_min.h:185-190,267-281)."""
+    if isinstance(name_map, str):
+        name_map = parse_nameid_map(name_map)
+    smap = ScoreMap(phase1)
+    gs = _gather_genomes(paths, sp, name_map, canonicalize, "hash", input_type,
+                         score_map=smap, use_device=use_device)
+    keys = np.unique(np.concatenate([k for _, k in gs])) if gs else np.zeros(0, np.uint64)
+    vals, found = phase1.probe_np(keys)
+    if not bool(found.all()):
+        raise ValueError(
+            "minimized_map: kmer missing from phase-1 database "
+            "(check matching spacer and k)"
+        )
+    return KmerTable(keys, (vals & np.uint64(TAX_T_MAX)).astype(np.uint32))

@@ -1,0 +1,237 @@
+"""Database serialization.
+
+Two formats:
+
+1. Native ``BTPU1``: magic + JSON header + raw little-endian key/value
+   arrays.  Flat sorted arrays are the canonical content (the bucketized
+   probe table is rebuilt vectorized on load); this is the checkpoint format
+   for all builders.
+
+2. Bonsai-compatible import/export of the reference ``Database<khash_t(c)>``
+   / ``Database<khash_t(64)>`` file layout (database.h:33-102 +
+   util.h:281-372): header {u32 k, u32 w, (k-1) bytes spacing}, then a raw
+   khash memory image {u64 n_buckets, n_occupied, size, upper_bound; u32
+   flags[fsize]; u64 keys[nb]; u32|u64 vals[nb]}.  The exporter reproduces
+   klib khash's exact bucket count, hash (khash64.h:425) and triangular
+   probing so the file round-trips through the reference loader; slot layout
+   for colliding keys follows ascending-key insertion order (any insertion
+   order yields a valid khash).
+
+   Note the reference writes the spacing vector as one byte per entry while
+   the in-memory type is uint16 (database.h:48,99) — gaps are truncated to
+   a byte on disk; we reproduce that.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import json
+import struct
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.spacer import Spacer
+from .table import KmerTable
+
+MAGIC = b"BTPU1\n"
+KH_UPPER = 0.77
+
+
+@dataclass
+class Database:
+    """A loaded database: table + seed geometry."""
+
+    table: KmerTable
+    k: int
+    w: int
+    gaps: List[int]
+    canonicalize: bool = True
+    scheme: str = "lex"
+    meta: dict = field(default_factory=dict)
+
+    @property
+    def spacer(self) -> Spacer:
+        return Spacer(self.k, self.w, self.gaps)
+
+
+# -- native format ------------------------------------------------------------
+
+def save_database(db: Database, path: str, compress: Optional[str] = None):
+    header = dict(
+        k=db.k,
+        w=db.w,
+        gaps=list(db.gaps),
+        canonicalize=bool(db.canonicalize),
+        scheme=db.scheme,
+        n=int(db.table.n),
+        val_dtype=str(db.table.vals_sorted.dtype),
+        meta=db.meta,
+    )
+    hb = json.dumps(header).encode()
+    if compress is None and path.endswith(".gz"):
+        compress = "gz"
+    opener = gzip.open if compress == "gz" else open
+    with opener(path, "wb") as fh:
+        fh.write(MAGIC)
+        fh.write(struct.pack("<I", len(hb)))
+        fh.write(hb)
+        fh.write(db.table.keys_sorted.astype("<u8").tobytes())
+        fh.write(db.table.vals_sorted.astype(db.table.vals_sorted.dtype.newbyteorder("<")).tobytes())
+
+
+def load_database(path: str) -> Database:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as fh:
+        magic = fh.read(len(MAGIC))
+        if magic != MAGIC:
+            raise ValueError(f"{path}: not a BTPU1 database")
+        (hlen,) = struct.unpack("<I", fh.read(4))
+        header = json.loads(fh.read(hlen))
+        n = header["n"]
+        keys = np.frombuffer(fh.read(8 * n), dtype="<u8").astype(np.uint64)
+        vdt = np.dtype(header["val_dtype"])
+        vals = np.frombuffer(fh.read(vdt.itemsize * n), dtype=vdt.newbyteorder("<")).astype(vdt)
+    table = KmerTable(keys, vals)
+    return Database(
+        table=table,
+        k=header["k"],
+        w=header["w"],
+        gaps=header["gaps"],
+        canonicalize=header.get("canonicalize", True),
+        scheme=header.get("scheme", "lex"),
+        meta=header.get("meta", {}),
+    )
+
+
+# -- bonsai khash image -------------------------------------------------------
+
+def _kh_hash(keys: np.ndarray) -> np.ndarray:
+    k = keys.astype(np.uint64)
+    return ((k >> np.uint64(33)) ^ k ^ (k << np.uint64(11))) & np.uint64(0xFFFFFFFF)
+
+
+def _kroundup64(x: int) -> int:
+    if x <= 1:
+        return 1
+    return 1 << (x - 1).bit_length()
+
+
+def _fsize(nb: int) -> int:
+    return 1 if nb < 16 else nb >> 4
+
+
+def read_bonsai_database(path: str):
+    """Read a reference Database file -> (k, w, gaps, keys, vals, val_width).
+
+    Detects the value width (4 for khash_t(c), 8 for khash_t(64)) from the
+    file size."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as fh:
+        data = fh.read()
+    k, w = struct.unpack_from("<II", data, 0)
+    off = 8
+    gaps = list(data[off : off + k - 1])
+    off += k - 1
+    nb, n_occ, size, upper = struct.unpack_from("<QQQQ", data, off)
+    off += 32
+    fs = _fsize(nb)
+    flags = np.frombuffer(data, dtype="<u4", count=fs, offset=off)
+    off += 4 * fs
+    keys = np.frombuffer(data, dtype="<u8", count=nb, offset=off)
+    off += 8 * nb
+    remaining = len(data) - off
+    val_width = 8 if remaining >= 8 * nb else 4
+    vals = np.frombuffer(data, dtype=f"<u{val_width}", count=nb, offset=off)
+    # occupied slots: 2-bit flag == 0 (khash64.h:169-171)
+    idx = np.arange(nb)
+    fl = (flags[idx >> 4] >> ((idx & 0xF) << 1).astype(np.uint32)) & 3
+    occ = fl == 0
+    okeys = keys[occ].astype(np.uint64)
+    ovals = vals[occ]
+    order = np.argsort(okeys, kind="stable")
+    return int(k), int(w), gaps, okeys[order], ovals[order], val_width
+
+
+def import_bonsai_database(path: str) -> Database:
+    k, w, gaps, keys, vals, vw = read_bonsai_database(path)
+    if np.unique(keys).size != keys.size:
+        raise ValueError(f"{path}: duplicate keys in khash image")
+    return Database(
+        table=KmerTable(keys, vals),
+        k=k,
+        w=w,
+        gaps=gaps,
+        meta=dict(source="bonsai", val_width=vw),
+    )
+
+
+def _khash_layout(keys: np.ndarray, vals: np.ndarray):
+    """Place sorted unique keys into a klib-khash-compatible slot layout.
+
+    Vectorized round-based insertion along each key's triangular probe
+    sequence (khash64.h kh_put): in every round, the first unplaced key
+    targeting an empty slot wins it; losers advance one probe step.  The
+    occupancy-monotonicity of the final table guarantees lookup correctness
+    for any such order (see module docstring)."""
+    n = keys.size
+    nb = _kroundup64(max(n, 4))
+    while n >= int(nb * KH_UPPER + 0.5):
+        nb <<= 1
+    mask = np.uint64(nb - 1)
+    slot_keys = np.zeros(nb, dtype=np.uint64)
+    slot_vals = np.zeros(nb, dtype=vals.dtype)
+    occupied = np.zeros(nb, dtype=bool)
+    if n:
+        h = _kh_hash(keys)
+        pos = (h & mask).astype(np.int64)
+        step = np.zeros(n, dtype=np.int64)
+        alive = np.ones(n, dtype=bool)
+        ids = np.arange(n)
+        while alive.any():
+            ai = ids[alive]
+            cand = pos[ai]
+            empty = ~occupied[cand]
+            ei = ai[empty]
+            cand_e = cand[empty]
+            uniq, first = np.unique(cand_e, return_index=True)
+            winners = ei[first]
+            slot_keys[pos[winners]] = keys[winners]
+            slot_vals[pos[winners]] = vals[winners]
+            occupied[pos[winners]] = True
+            alive[winners] = False
+            rest = alive.copy()
+            step[rest] += 1
+            pos[rest] = (pos[rest] + step[rest]) & np.int64(nb - 1)
+    return nb, slot_keys, slot_vals, occupied
+
+
+def write_bonsai_database(db: Database, path: str, compress: bool = False):
+    """Write a Database loadable by the reference `Database<khash_t(T)>`
+    constructor (T inferred from value dtype)."""
+    keys = db.table.keys_sorted
+    vals = db.table.vals_sorted
+    nb, sk, sv, occ = _khash_layout(keys, vals)
+    n = keys.size
+    fs = _fsize(nb)
+    flags = np.full(fs, 0xAAAAAAAA, dtype=np.uint32)
+    idx = np.nonzero(occ)[0]
+    # clear both bits for occupied slots
+    word = idx >> 4
+    shiftb = ((idx & 0xF) << 1).astype(np.uint32)
+    clear = (np.uint32(3) << shiftb).astype(np.uint32)
+    np.bitwise_and.at(flags, word, ~clear)
+    gaps = bytes((g & 0xFF) for g in db.gaps)
+    buf = io.BytesIO()
+    buf.write(struct.pack("<II", db.k, db.w))
+    buf.write(gaps)
+    upper = int(nb * KH_UPPER + 0.5)
+    buf.write(struct.pack("<QQQQ", nb, n, n, upper))
+    buf.write(flags.astype("<u4").tobytes())
+    buf.write(sk.astype("<u8").tobytes())
+    buf.write(sv.astype(sv.dtype.newbyteorder("<")).tobytes())
+    opener = gzip.open if compress or path.endswith(".gz") else open
+    with opener(path, "wb") as fh:
+        fh.write(buf.getvalue())

@@ -1,0 +1,181 @@
+"""FASTA/FASTQ input: parsing and fixed-shape batching.
+
+Host-side replacement for kseq/bseq (reference klib kseq.h +
+include/bonsai/kseq_declare.h:39-204): sequences are parsed on the host and
+marshalled into fixed-shape (B, L) int8 code batches for the device.
+Compression transparency matches the reference (encoder.h:510-530): .gz via
+zlib, .xz via lzma, .bz2 via bz2; .zst via the zstd binary when available.
+
+The batcher pads read length to bucket boundaries so jit sees a small, fixed
+set of shapes regardless of input length jitter.
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import io
+import lzma
+import shutil
+import subprocess
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+def open_maybe_compressed(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    if path.endswith(".xz"):
+        return lzma.open(path, "rb")
+    if path.endswith(".bz2"):
+        return bz2.open(path, "rb")
+    if path.endswith(".zst"):
+        if shutil.which("zstd"):
+            proc = subprocess.Popen(
+                ["zstd", "-dc", path], stdout=subprocess.PIPE
+            )
+            return proc.stdout
+        try:
+            import zstandard  # type: ignore
+
+            return zstandard.open(path, "rb")
+        except ImportError as e:
+            raise RuntimeError(
+                "no zstd binary or zstandard module available for .zst input"
+            ) from e
+    return open(path, "rb")
+
+
+def read_fastx(path: str) -> Iterator[Tuple[bytes, bytes, Optional[bytes]]]:
+    """Yield (name, seq, qual) records.  name = header up to first space.
+    qual is None for FASTA."""
+    with _buffered(path) as fh:
+        first = fh.peek(1)[:1]
+        if not first:
+            return
+        if first == b">":
+            yield from _read_fasta(fh)
+        elif first == b"@":
+            yield from _read_fastq(fh)
+        else:
+            raise ValueError(f"{path}: not FASTA/FASTQ (starts with {first!r})")
+
+
+def _buffered(path) -> io.BufferedReader:
+    fh = open_maybe_compressed(path)
+    if hasattr(fh, "peek"):
+        return fh
+    return io.BufferedReader(fh)
+
+
+def _read_fasta(fh):
+    name = None
+    chunks: List[bytes] = []
+    for line in fh:
+        line = line.rstrip(b"\r\n")
+        if line.startswith(b">"):
+            if name is not None:
+                yield name, b"".join(chunks), None
+            name = line[1:].split(b" ", 1)[0].split(b"\t", 1)[0]
+            chunks = []
+        elif line:
+            chunks.append(line)
+    if name is not None:
+        yield name, b"".join(chunks), None
+
+
+def _read_fastq(fh):
+    while True:
+        hdr = fh.readline()
+        if not hdr:
+            return
+        hdr = hdr.rstrip(b"\r\n")
+        if not hdr:
+            continue
+        seq = fh.readline().rstrip(b"\r\n")
+        fh.readline()  # '+'
+        qual = fh.readline().rstrip(b"\r\n")
+        yield hdr[1:].split(b" ", 1)[0], seq, qual
+
+
+def first_header(path: str) -> str:
+    with _buffered(path) as fh:
+        return fh.readline().decode("utf-8", "replace").strip()
+
+
+@dataclass
+class ReadBatch:
+    names: List[bytes]
+    seqs: List[bytes]
+    codes: np.ndarray  # (B, L) int8, -1 pad/ambiguous
+    lengths: np.ndarray  # (B,) int32
+    quals: Optional[List[Optional[bytes]]] = None
+
+
+def _bucket_len(n: int, min_len: int = 64) -> int:
+    """Round up to the next length bucket (1.25x geometric-ish steps)."""
+    L = min_len
+    while L < n:
+        L += max(L // 4, 32)
+    return L
+
+
+def batch_reads(
+    path: str,
+    lut: np.ndarray,
+    batch_size: int = 4096,
+    mate_path: Optional[str] = None,
+    keep_seqs: bool = True,
+) -> Iterator[ReadBatch]:
+    """Yield fixed-shape read batches.  Paired-end reads are interleaved
+    (mate pairs adjacent, matching bseq_read's paired layout)."""
+    it = read_fastx(path)
+    mate_it = read_fastx(mate_path) if mate_path else None
+
+    def records():
+        if mate_it is None:
+            yield from it
+        else:
+            for r1 in it:
+                yield r1
+                yield next(mate_it)
+
+    names: List[bytes] = []
+    seqs: List[bytes] = []
+    quals: List[Optional[bytes]] = []
+    for name, seq, qual in records():
+        names.append(name)
+        seqs.append(seq)
+        quals.append(qual)
+        if len(names) >= batch_size:
+            yield _make_batch(names, seqs, quals, lut, keep_seqs)
+            names, seqs, quals = [], [], []
+    if names:
+        yield _make_batch(names, seqs, quals, lut, keep_seqs)
+
+
+def _make_batch(names, seqs, quals, lut, keep_seqs) -> ReadBatch:
+    maxlen = max((len(s) for s in seqs), default=1)
+    L = _bucket_len(maxlen)
+    B = len(seqs)
+    codes = np.full((B, L), -1, dtype=np.int8)
+    lengths = np.empty(B, dtype=np.int32)
+    lut = np.asarray(lut, dtype=np.int8)
+    for i, s in enumerate(seqs):
+        a = np.frombuffer(s, dtype=np.uint8)
+        codes[i, : len(s)] = lut[a]
+        lengths[i] = len(s)
+    return ReadBatch(
+        names=names,
+        seqs=seqs if keep_seqs else [],
+        codes=codes,
+        lengths=lengths,
+        quals=quals,
+    )
+
+
+def encode_contig(seq: bytes, lut: np.ndarray) -> np.ndarray:
+    lut = np.asarray(lut, dtype=np.int8)
+    return lut[np.frombuffer(seq, dtype=np.uint8)]

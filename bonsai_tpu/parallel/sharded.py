@@ -1,0 +1,216 @@
+"""Multi-device classification and encoding under shard_map.
+
+Sharding policy (SURVEY §2.10 / §5 "Distributed communication backend"):
+
+* reads are data-parallel along mesh axis 'dp';
+* the DB table is either replicated (small DB) or bucket-range sharded
+  along axis 'db': rank s owns buckets [s*nb/ndb, (s+1)*nb/ndb).  Queries
+  are already replicated along 'db' (reads shard only over 'dp'), so each
+  rank probes its local range and results merge with ONE small psum over
+  'db' — no query routing traffic at all; the only communication is the
+  (B, P) hit/val reduction.  Each key exists on exactly one rank, so
+  psum(val * found) is exact.
+* long contigs in DB build shard the *sequence* axis along 'sp' with a
+  (w-1)-base halo pulled from the right neighbor via ppermute — the
+  blockwise-with-halo analog of ring attention for rolling encoders.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+
+def _pad_rows_pow2(nb: int, ndb: int) -> int:
+    return (nb + ndb - 1) // ndb
+
+
+class ShardedClassifier:
+    """Device-mesh classifier: encode + sharded probe + resolve.
+
+    Wraps the same math as classify.pipeline.Classifier but expressed as a
+    shard_map over a Mesh with axes ('dp', 'db')."""
+
+    def __init__(self, db, tree, mesh, canonicalize: bool = True,
+                 input_type=None):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..core.alphabet import InputType
+        from ..core.encoder import BatchEncoder
+        from ..core.spacer import Spacer
+
+        input_type = InputType.DNA if input_type is None else input_type
+        self.mesh = mesh
+        self.db = db
+        self.tree = tree
+        self.sp = Spacer(db.k, db.k, db.gaps)
+        self.enc = BatchEncoder(self.sp, canonicalize, "lex", input_type)
+        self.ndb = mesh.shape.get("db", 1)
+        self.ndp = mesh.shape.get("dp", 1)
+
+        table = db.table
+        nb = table.nb
+        rows = _pad_rows_pow2(nb, self.ndb) * self.ndb
+        pad = rows - nb
+        compact_vals = tree.compact(table.vals_sorted, missing_ok=True)
+        vals_c = table.relabel(compact_vals.astype(np.int32))
+        vals_o = table.relabel(table.vals_sorted.astype(np.uint32))
+
+        def padrows(a):
+            if pad:
+                z = np.zeros((pad,) + a.shape[1:], dtype=a.dtype)
+                return np.concatenate([a, z], axis=0)
+            return a
+
+        keys = padrows(table.table_keys)
+        counts = padrows(table.table_occbits)
+        vals_c = padrows(vals_c)
+        vals_o = padrows(vals_o)
+
+        shard_db = NamedSharding(mesh, P("db"))
+        repl = NamedSharding(mesh, P())
+        self._keys = jax.device_put(jnp.asarray(keys), shard_db)
+        self._counts = jax.device_put(jnp.asarray(counts), shard_db)
+        self._vals_c = jax.device_put(jnp.asarray(vals_c), shard_db)
+        self._vals_o = jax.device_put(jnp.asarray(vals_o), shard_db)
+        self._tax = {
+            k: jax.device_put(v, repl) for k, v in tree.device_arrays().items()
+        }
+        self._rows_per_shard = rows // self.ndb
+        self._fn = None
+
+    def _build_fn(self):
+        import jax
+        import jax.numpy as jnp
+        shard_map = jax.shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..core import hashes
+        from ..db.table import SLOTS
+        from ..classify.resolve import resolve_batch
+
+        enc = self.enc
+        table = self.db.table
+        mesh = self.mesh
+        rows_per_shard = self._rows_per_shard
+        shift = table.shift
+        tax = self._tax
+        buckets_of = type(table)._buckets_of
+
+        def probe_local(kmers, keys, occbits, vals_c, vals_o):
+            """Probe the local bucket range; misses for foreign buckets."""
+            db_rank = jax.lax.axis_index("db")
+            row0 = db_rank.astype(jnp.int64) * rows_per_shard
+            b1, b2 = buckets_of(kmers, shift, xp=jnp)
+            lane = jnp.arange(SLOTS, dtype=jnp.int32)
+            found = jnp.zeros(kmers.shape, dtype=bool)
+            val_c = jnp.zeros(kmers.shape, dtype=jnp.int32)
+            val_o = jnp.zeros(kmers.shape, dtype=jnp.uint32)
+            for b in (b1, b2):
+                local = b - row0
+                mine = (local >= 0) & (local < rows_per_shard)
+                li = jnp.clip(local, 0, rows_per_shard - 1).astype(jnp.int32)
+                krow = keys[li]
+                orow = occbits[li]
+                occ = ((orow[..., None] >> lane) & 1) > 0
+                eq = (
+                    (krow == kmers[..., None])
+                    & occ
+                    & mine[..., None]
+                )
+                hit = jnp.any(eq, axis=-1)
+                vc = jnp.sum(jnp.where(eq, vals_c[li], 0), axis=-1).astype(jnp.int32)
+                vo = jnp.sum(jnp.where(eq, vals_o[li], 0), axis=-1).astype(jnp.uint32)
+                val_c = jnp.where(hit & ~found, vc, val_c)
+                val_o = jnp.where(hit & ~found, vo, val_o)
+                found = found | hit
+            return val_c, val_o, found
+
+        def local_step(codes, lengths, keys, occbits, vals_c, vals_o):
+            em = enc.emissions(codes, lengths)
+            kmers, valid = em.values, em.mask
+            vc, vo, found = probe_local(kmers, keys, occbits, vals_c, vals_o)
+            # merge across db shards: each key on exactly one shard
+            vc = jax.lax.psum(vc * found, "db")
+            vo = jax.lax.psum(jnp.where(found, vo, 0), "db")
+            found = jax.lax.psum(found.astype(jnp.int32), "db") > 0
+            hit = valid & found
+            miss = valid & ~found
+            cidx = jnp.where(hit, vc, 0)
+            taxon_c = resolve_batch(cidx, hit, tax)
+            taxon = tax["tax_ids"][taxon_c]
+            return (
+                taxon,
+                jnp.where(hit, vo, 0),
+                hit,
+                miss.sum(-1).astype(jnp.int32),
+                valid.sum(-1).astype(jnp.int32),
+            )
+
+        fn = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(
+                P("dp"), P("dp"),
+                P("db"), P("db"), P("db"), P("db"),
+            ),
+            out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+        )
+        return jax.jit(fn)
+
+    def step(self, codes, lengths):
+        import jax.numpy as jnp
+
+        if self._fn is None:
+            self._fn = self._build_fn()
+        return self._fn(
+            jnp.asarray(codes),
+            jnp.asarray(lengths),
+            self._keys,
+            self._counts,
+            self._vals_c,
+            self._vals_o,
+        )
+
+
+def sharded_encode_contig(codes, k: int, mesh, canonical: bool = True):
+    """Sequence-parallel contig encoding: the contig's code array is sharded
+    along 'sp'; each rank encodes its block plus a (k-1)-code halo pulled
+    from the right neighbor with ppermute.  Returns per-position canonical
+    kmers + validity, sharded like the input.
+
+    This is the build-side analog of blockwise attention: O(1) neighbor
+    exchange instead of a serial rolling state (SURVEY §5 long-context)."""
+    import jax
+    import jax.numpy as jnp
+    shard_map = jax.shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..core import bitops, encode
+
+    nsp = mesh.shape["sp"]
+    halo = k - 1
+
+    def local(codes_blk):
+        # codes_blk: (1, L_local)
+        r = jax.lax.axis_index("sp")
+        left_halo = codes_blk[:, :halo]
+        # everyone sends its first halo codes to the LEFT neighbor
+        perm = [(i, (i - 1) % nsp) for i in range(nsp)]
+        recv = jax.lax.ppermute(left_halo, "sp", perm)
+        # last rank's received halo wraps around: mark invalid
+        recv = jnp.where(r == nsp - 1, jnp.full_like(recv, -1), recv)
+        ext = jnp.concatenate([codes_blk, recv], axis=-1)
+        kmers, invalid = encode.pack_kmers(ext, k)
+        kmers = jnp.where(invalid, jnp.uint64(0), bitops.canonical(kmers, k) if canonical else kmers)
+        return kmers, ~invalid
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(P(None, "sp"),),
+        out_specs=(P(None, "sp"), P(None, "sp")),
+    )
+    return jax.jit(fn)(codes)

@@ -110,6 +110,9 @@ class TaxTree:
                 for ch in order[starts[node] : ends[node]][::-1]:
                     if not visited[ch]:
                         stack.append((int(ch), False))
+        # virtual node 0 ("no taxon"): never an ancestor, never a descendant
+        tin[0] = -1
+        tout[0] = -2
         # unreachable nodes (malformed taxonomy): leave depth 0
         self.depth = depth
         self.tin = tin

@@ -13,6 +13,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+# a sitecustomize pins jax_platforms to "axon,cpu" (the TPU tunnel); tests
+# must run on a local virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 import numpy as np
 import pytest
 

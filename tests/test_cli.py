@@ -1,0 +1,72 @@
+"""CLI smoke tests (in-process)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from bonsai_tpu.cli import main
+from bonsai_tpu.io import fastx
+from bonsai_tpu.taxonomy.ncbi import accession_from_header
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+PHIX = os.path.join(DATA, "phix.fa")
+
+
+@pytest.fixture(scope="module")
+def taxfiles(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tax")
+    nodes = d / "nodes.dmp"
+    nodes.write_text(
+        "1\t|\t1\t|\tno rank\t|\n"
+        "2\t|\t1\t|\tsuperkingdom\t|\n"
+        "13\t|\t2\t|\tspecies\t|\n"
+    )
+    nameid = d / "nameidmap.txt"
+    acc = accession_from_header(fastx.first_header(PHIX))
+    nameid.write_text(f"{acc}\t13\n")
+    return str(nodes), str(nameid), str(d)
+
+
+def test_build_and_classify_and_hist(taxfiles, capsys):
+    nodes, nameid, d = taxfiles
+    dbp = os.path.join(d, "phix.btpu")
+    rc = main(["build", dbp, PHIX, "-k", "25", "-T", nodes, "-M", nameid])
+    assert rc == 0
+    # make some reads from phiX
+    seq = b"".join(s for _, s, _ in fastx.read_fastx(PHIX))
+    reads = os.path.join(d, "reads.fa")
+    with open(reads, "w") as fh:
+        for i in range(20):
+            fh.write(f">read{i}\n{seq[i*37:(i*37)+90].decode()}\n")
+    out = os.path.join(d, "out.tsv")
+    rc = main(["classify", dbp, nodes, reads, "-o", out, "-a"])
+    assert rc == 0
+    lines = open(out).read().strip().split("\n")
+    assert len(lines) == 20
+    for line in lines:
+        cols = line.split("\t")
+        assert cols[0] == "C" and cols[2] == "13"
+    rc = main(["hist", dbp])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "Name\tCount" in cap.out
+    assert "\n13\t" in cap.out
+
+
+def test_lca_cli(taxfiles, capsys):
+    nodes, _, _ = taxfiles
+    assert main(["lca", nodes, "13", "2"]) == 0
+    assert capsys.readouterr().out.strip() == "2"
+
+
+def test_bonsai_format_cli(taxfiles):
+    nodes, nameid, d = taxfiles
+    dbp = os.path.join(d, "phix.bonsaidb")
+    rc = main(["build", dbp, PHIX, "-k", "25", "-T", nodes, "-M", nameid,
+               "--bonsai-format"])
+    assert rc == 0
+    from bonsai_tpu.db.formats import import_bonsai_database
+
+    db = import_bonsai_database(dbp)
+    assert db.k == 25 and len(db.table) > 1000

@@ -1,0 +1,267 @@
+"""End-to-end: DB build from real genomes + classification vs host oracle.
+
+The reference binary cannot be built in this environment (its hll/zlib/zstd
+submodules are empty), so per-read parity is checked against a trusted host
+oracle: the scalar-port oracle encoder + a python dict DB + the
+reference-exact resolve_tree_host.
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from bonsai_tpu.core.spacer import Spacer
+from bonsai_tpu.db.build import lca_map, genome_kmer_set, taxdepth_map, minimized_map, TDtax, TDdepth
+from bonsai_tpu.db.formats import (
+    Database,
+    save_database,
+    load_database,
+    write_bonsai_database,
+    import_bonsai_database,
+)
+from bonsai_tpu.db.table import KmerTable
+from bonsai_tpu.classify.pipeline import Classifier
+from bonsai_tpu.classify import output as out_mod
+from bonsai_tpu.taxonomy.tree import TaxTree
+from bonsai_tpu.taxonomy.ncbi import accession_from_header
+from bonsai_tpu.io import fastx
+
+from oracle import OracleEncoder
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+GENOMES = [
+    os.path.join(DATA, "ec", "GCF_000005845.2_ASM584v2_genomic.fna.gz"),
+    os.path.join(DATA, "ec", "GCF_000007445.1_ASM744v1_genomic.fna.gz"),
+    os.path.join(DATA, "phix.fa"),
+]
+#      1
+#      |
+#      2          (E. coli species)
+#     / \
+#   11   12       (strains)          13 = phiX under root
+TAXONOMY = {1: 0, 2: 1, 11: 2, 12: 2, 13: 1}
+GENOME_TAX = {0: 11, 1: 12, 2: 13}
+K = 21
+
+
+@pytest.fixture(scope="module")
+def name_map():
+    nm = {}
+    for gi, path in enumerate(GENOMES):
+        hdr = fastx.first_header(path)
+        nm[accession_from_header(hdr)] = GENOME_TAX[gi]
+    return nm
+
+
+@pytest.fixture(scope="module")
+def tree():
+    return TaxTree(TAXONOMY)
+
+
+@pytest.fixture(scope="module")
+def db(tree, name_map):
+    sp = Spacer(K, K)
+    table = lca_map(GENOMES, tree, name_map, sp, canonicalize=True)
+    return Database(table=table, k=K, w=K, gaps=[0] * (K - 1))
+
+
+def simulate_reads(rng, n, readlen=120, n_prob=0.01):
+    """Reads drawn from the genomes + some random reads."""
+    contigs = []
+    for path in GENOMES:
+        for _, seq, _ in fastx.read_fastx(path):
+            if len(seq) >= readlen:
+                contigs.append(seq)
+    reads = []
+    bases = np.array(list(b"ACGT"), dtype=np.uint8)
+    for i in range(n):
+        if rng.random() < 0.15:
+            reads.append(bases[rng.integers(0, 4, readlen)].tobytes())
+            continue
+        c = contigs[rng.integers(len(contigs))]
+        start = int(rng.integers(0, len(c) - readlen + 1))
+        r = bytearray(c[start : start + readlen])
+        # mutations + Ns
+        for _ in range(int(rng.integers(0, 4))):
+            r[int(rng.integers(readlen))] = int(bases[rng.integers(4)])
+        if rng.random() < n_prob * readlen:
+            r[int(rng.integers(readlen))] = ord("N")
+        reads.append(bytes(r))
+    return reads
+
+
+def oracle_classify(db, tree, reads, k):
+    """Host oracle: oracle encoder + dict probe + resolve_tree_host."""
+    dbdict = dict(zip(db.table.keys_sorted.tolist(), db.table.vals_sorted.tolist()))
+    enc = OracleEncoder(Spacer(k, k), canonicalize=True)
+    out = []
+    details = []
+    for r in reads:
+        hits = {}
+        taxa = []
+        missing = 0
+        for km in enc.for_each(r):
+            v = dbdict.get(km)
+            if v is None:
+                missing += 1
+            else:
+                taxa.append(v)
+                hits[v] = hits.get(v, 0) + 1
+        taxon = tree.resolve_tree_host(hits)
+        out.append(taxon)
+        details.append((taxa, missing))
+    return out, details
+
+
+def test_db_content_is_lca(db, tree, name_map):
+    """Every key's value equals the LCA of the taxa of genomes containing
+    it (direct check on a subsample)."""
+    rng = np.random.default_rng(0)
+    sp = Spacer(K, K)
+    gsets = [set(genome_kmer_set(p, sp).tolist()) for p in GENOMES]
+    keys = db.table.keys_sorted
+    sample = rng.choice(len(keys), size=min(3000, len(keys)), replace=False)
+    for i in sample:
+        km = int(keys[i])
+        taxa = [GENOME_TAX[g] for g, s in enumerate(gsets) if km in s]
+        assert taxa, "key not in any genome set"
+        want = taxa[0]
+        for t in taxa[1:]:
+            want = tree.lca(want, t)
+        assert int(db.table.vals_sorted[i]) == want
+
+
+def test_probe_roundtrip(db):
+    rng = np.random.default_rng(1)
+    keys = db.table.keys_sorted
+    idx = rng.choice(len(keys), size=5000, replace=False)
+    vals, found = db.table.probe_np(keys[idx])
+    assert found.all()
+    np.testing.assert_array_equal(vals, db.table.vals_sorted[idx])
+    # misses
+    fake = rng.integers(0, 1 << 42, size=1000, dtype=np.uint64) | np.uint64(1 << 60)
+    _, found = db.table.probe_np(fake)
+    assert not found.any()
+
+
+def test_classify_matches_oracle(db, tree):
+    rng = np.random.default_rng(7)
+    reads = simulate_reads(rng, 300)
+    want, details = oracle_classify(db, tree, reads, K)
+    clf = Classifier(db, tree)
+    res_taxon = clf.classify_reads(reads)
+    got = [int(t) for t in res_taxon]
+    assert got == want
+    # classification counters
+    assert clf.n_classified == sum(1 for t in want if t)
+    assert clf.n_unclassified == sum(1 for t in want if not t)
+
+
+def test_classify_detail_and_output(db, tree):
+    rng = np.random.default_rng(9)
+    reads = simulate_reads(rng, 64)
+    want, details = oracle_classify(db, tree, reads, K)
+    clf = Classifier(db, tree, emit_all=True)
+    maxlen = max(len(r) for r in reads)
+    codes = np.full((len(reads), maxlen), -1, dtype=np.int8)
+    lengths = np.array([len(r) for r in reads], dtype=np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = clf.lut[np.frombuffer(r, dtype=np.uint8)]
+    batch = fastx.ReadBatch(
+        names=[f"r{i}".encode() for i in range(len(reads))],
+        seqs=reads, codes=codes, lengths=lengths, quals=[None] * len(reads),
+    )
+    res = clf.classify_batch(batch)
+    for i, (taxa, missing) in enumerate(details):
+        got_taxa = res.taxa[i][res.hit_mask[i]].tolist()
+        assert got_taxa == taxa, f"read {i} hit taxa"
+        assert int(res.n_missing[i]) == missing
+    text = out_mod.format_batch(res, K, emit_all=True)
+    lines = text.strip("\n").split("\n")
+    assert len(lines) == len(reads)
+    for i, line in enumerate(lines):
+        cols = line.split("\t")
+        assert cols[0] == ("C" if want[i] else "U")
+        assert cols[1] == f"r{i}"
+        assert int(cols[2]) == want[i]
+        assert int(cols[3]) == len(reads[i])
+        if want[i]:
+            # run lengths sum to number of hits
+            runs = [c for c in cols[4:] if ":" in c and not c.startswith(("M:", "A:"))]
+            total = sum(int(r.split(":")[1]) for r in runs)
+            assert total == len(details[i][0])
+
+
+def test_native_format_roundtrip(db, tmp_path):
+    p = str(tmp_path / "db.btpu")
+    save_database(db, p)
+    db2 = load_database(p)
+    np.testing.assert_array_equal(db2.table.keys_sorted, db.table.keys_sorted)
+    np.testing.assert_array_equal(db2.table.vals_sorted, db.table.vals_sorted)
+    assert db2.k == db.k and db2.w == db.w and db2.gaps == db.gaps
+    # gz flavor
+    pgz = str(tmp_path / "db.btpu.gz")
+    save_database(db, pgz)
+    db3 = load_database(pgz)
+    np.testing.assert_array_equal(db3.table.keys_sorted, db.table.keys_sorted)
+
+
+def test_bonsai_format_roundtrip(db, tmp_path):
+    p = str(tmp_path / "db.bonsai")
+    write_bonsai_database(db, p)
+    db2 = import_bonsai_database(p)
+    np.testing.assert_array_equal(db2.table.keys_sorted, db.table.keys_sorted)
+    np.testing.assert_array_equal(
+        db2.table.vals_sorted.astype(np.uint32), db.table.vals_sorted
+    )
+    assert db2.k == db.k and db2.w == db.w
+
+
+def test_bonsai_khash_probe_semantics(tmp_path):
+    """The exported khash image must be probe-consistent: simulate klib
+    kh_get over the raw image for every key and for misses."""
+    from bonsai_tpu.db.formats import _khash_layout, _kh_hash
+
+    rng = np.random.default_rng(3)
+    keys = np.unique(rng.integers(0, 1 << 62, size=20000, dtype=np.uint64))
+    vals = rng.integers(0, 1 << 31, size=len(keys), dtype=np.uint32)
+    nb, sk, sv, occ = _khash_layout(keys, vals)
+    mask = nb - 1
+
+    def kh_get(key):
+        k = int(_kh_hash(np.array([key], dtype=np.uint64))[0])
+        i = k & mask
+        step = 0
+        last = i
+        while occ[i] and sk[i] != key:
+            step += 1
+            i = (i + step) & mask
+            if i == last:
+                return None
+        return i if occ[i] and sk[i] == key else None
+
+    idx = rng.choice(len(keys), size=400, replace=False)
+    for key, val in zip(keys[idx].tolist(), vals[idx].tolist()):
+        slot = kh_get(key)
+        assert slot is not None, f"key {key} unreachable"
+        assert sv[slot] == val
+    for key in rng.integers(1 << 62, 1 << 63, size=200, dtype=np.uint64).tolist():
+        assert kh_get(key) is None
+
+
+def test_phase1_taxdepth_and_minimized(tree, name_map, tmp_path):
+    sp = Spacer(K, K)
+    p1 = taxdepth_map(GENOMES, tree, name_map, sp)
+    # kmers present in both E. coli strains but not phiX -> lca 2, depth 2
+    t = TDtax(p1.vals_sorted)
+    d = TDdepth(p1.vals_sorted)
+    for tax, depth in ((11, 3), (12, 3), (13, 2), (2, 2), (1, 1)):
+        m = t == tax
+        if m.any():
+            assert (d[m] == depth).all()
+    p2 = minimized_map(GENOMES, p1, tree, name_map, sp)
+    np.testing.assert_array_equal(p2.keys_sorted, p1.keys_sorted)
+    np.testing.assert_array_equal(p2.vals_sorted, TDtax(p1.vals_sorted))

@@ -1,0 +1,96 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: sharded classify
+must agree exactly with the single-device classifier; sequence-parallel
+encode must agree with the batched encoder."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bonsai_tpu.core.spacer import Spacer
+from bonsai_tpu.core.alphabet import DNA4
+from bonsai_tpu.core import encode as enc_mod, bitops
+from bonsai_tpu.db.table import KmerTable
+from bonsai_tpu.db.formats import Database
+from bonsai_tpu.classify.pipeline import Classifier
+from bonsai_tpu.parallel.mesh import make_mesh
+from bonsai_tpu.parallel.sharded import ShardedClassifier, sharded_encode_contig
+from bonsai_tpu.taxonomy.tree import TaxTree
+
+from conftest import random_dna
+
+K = 17
+TAXONOMY = {1: 0, 2: 1, 3: 1, 11: 2, 12: 2, 13: 3}
+
+
+def make_db(rng, n_keys=5000):
+    keys = np.unique(rng.integers(0, 1 << (2 * K), size=n_keys, dtype=np.uint64))
+    taxa = rng.choice([1, 2, 3, 11, 12, 13], size=len(keys)).astype(np.uint32)
+    return Database(table=KmerTable(keys, taxa), k=K, w=K, gaps=[0] * (K - 1))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    # DB keyed on canonical kmers actually drawn from reads so hits occur
+    reads = [random_dna(rng, int(rng.integers(80, 200)), 0.02) for _ in range(96)]
+    lut = DNA4.lut
+    kms = []
+    for r in reads:
+        codes = lut[np.frombuffer(r, dtype=np.uint8)][None]
+        km, inv = enc_mod.pack_kmers(codes, K)
+        kms.append(bitops.canonical(km[~inv], K))
+    allk = np.unique(np.concatenate(kms))
+    pick = allk[rng.random(len(allk)) < 0.6]
+    taxa = rng.choice([1, 2, 3, 11, 12, 13], size=len(pick)).astype(np.uint32)
+    db = Database(table=KmerTable(pick, taxa), k=K, w=K, gaps=[0] * (K - 1))
+    tree = TaxTree(TAXONOMY)
+    L = max(len(r) for r in reads)
+    codes = np.full((len(reads), L), -1, dtype=np.int8)
+    lengths = np.array([len(r) for r in reads], dtype=np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = lut[np.frombuffer(r, dtype=np.uint8)]
+    return db, tree, codes, lengths
+
+
+@pytest.mark.parametrize("dp,dbs", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_matches_single(setup, dp, dbs):
+    db, tree, codes, lengths = setup
+    single = Classifier(db, tree)
+    import bonsai_tpu.io.fastx as fastx
+
+    batch = fastx.ReadBatch(
+        names=[b""] * len(lengths), seqs=[], codes=codes, lengths=lengths,
+        quals=None,
+    )
+    ref = single.classify_batch(batch)
+
+    mesh = make_mesh({"dp": dp, "db": dbs})
+    sc = ShardedClassifier(db, tree, mesh)
+    taxon, taxa, hit, n_missing, n_kmers = sc.step(codes, lengths)
+    np.testing.assert_array_equal(np.asarray(taxon), ref.taxon)
+    np.testing.assert_array_equal(np.asarray(hit), ref.hit_mask)
+    np.testing.assert_array_equal(np.asarray(n_missing), ref.n_missing)
+    np.testing.assert_array_equal(
+        np.asarray(taxa)[np.asarray(hit)], ref.taxa[ref.hit_mask]
+    )
+
+
+def test_sequence_parallel_encode():
+    rng = np.random.default_rng(4)
+    mesh = make_mesh({"sp": 8})
+    L = 8 * 512
+    seq = random_dna(rng, L, 0.01)
+    lut = DNA4.lut
+    codes = lut[np.frombuffer(seq, dtype=np.uint8)][None]
+    kms, valid = sharded_encode_contig(jnp.asarray(codes), K, mesh)
+    kms, valid = np.asarray(kms), np.asarray(valid)
+    # reference: single-block encode
+    ref_km, ref_inv = enc_mod.pack_kmers(codes, K)
+    ref_can = np.where(ref_inv, np.uint64(0), bitops.canonical(ref_km, K))
+    P = ref_km.shape[-1]
+    np.testing.assert_array_equal(valid[0, :P], ~ref_inv[0])
+    np.testing.assert_array_equal(kms[0, :P][~ref_inv[0]], ref_can[0][~ref_inv[0]])
+    # tail positions (no full kmer) must be invalid
+    assert not valid[0, P:].any()
