@@ -75,8 +75,13 @@ class Classifier:
 
         table = db.table
         compact_vals = tree.compact(table.vals_sorted, missing_ok=True)
-        self._vals_compact = jnp.asarray(table.relabel(compact_vals.astype(np.int32)))
-        self._vals_orig = jnp.asarray(table.relabel(table.vals_sorted.astype(np.uint32)))
+        # One value table packing both payloads, so classification needs a
+        # single probe (two row gathers total): orig taxid in the high u32,
+        # compact taxonomy index in the low u32.
+        packed = (
+            table.vals_sorted.astype(np.uint64) << np.uint64(32)
+        ) | compact_vals.astype(np.uint32).astype(np.uint64)
+        self._vals_packed = jnp.asarray(table.relabel(packed))
         self._table_arrays = table.device_arrays()
         self._tax = tree.device_arrays()
         self._step_cache = {}
@@ -91,14 +96,13 @@ class Classifier:
         tax = self._tax
 
         @jax.jit
-        def step(codes, lengths, t_keys, t_occ, vals_compact, vals_orig):
+        def step(codes, lengths, t_keys, t_occ, vals_packed):
             em = enc.emissions(codes, lengths)
             kmers, valid = em.values, em.mask
-            arrays = dict(keys=t_keys, vals=vals_compact, occbits=t_occ)
-            cidx, found = table.probe_device(kmers, arrays=arrays)
-            oidx, _ = table.probe_device(
-                kmers, arrays=dict(keys=t_keys, vals=vals_orig, occbits=t_occ)
-            )
+            arrays = dict(keys=t_keys, vals=vals_packed, occbits=t_occ)
+            packed, found = table.probe_device(kmers, arrays=arrays)
+            cidx = (packed & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
+            oidx = (packed >> jnp.uint64(32)).astype(jnp.uint32)
             hit = valid & found
             miss = valid & ~found
             cidx = jnp.where(hit, cidx, 0)
@@ -130,8 +134,7 @@ class Classifier:
             jnp.asarray(batch.lengths),
             self._table_arrays["keys"],
             self._table_arrays["occbits"],
-            self._vals_compact,
-            self._vals_orig,
+            self._vals_packed,
         )
         taxon = np.asarray(taxon)
         self.n_classified += int((taxon != 0).sum())

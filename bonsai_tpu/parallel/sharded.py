@@ -57,8 +57,11 @@ class ShardedClassifier:
         rows = _pad_rows_pow2(nb, self.ndb) * self.ndb
         pad = rows - nb
         compact_vals = tree.compact(table.vals_sorted, missing_ok=True)
-        vals_c = table.relabel(compact_vals.astype(np.int32))
-        vals_o = table.relabel(table.vals_sorted.astype(np.uint32))
+        # single packed value table (orig taxid high u32, compact idx low u32)
+        packed = (
+            table.vals_sorted.astype(np.uint64) << np.uint64(32)
+        ) | compact_vals.astype(np.uint32).astype(np.uint64)
+        vals = table.relabel(packed)
 
         def padrows(a):
             if pad:
@@ -68,15 +71,13 @@ class ShardedClassifier:
 
         keys = padrows(table.table_keys)
         counts = padrows(table.table_occbits)
-        vals_c = padrows(vals_c)
-        vals_o = padrows(vals_o)
+        vals = padrows(vals)
 
         shard_db = NamedSharding(mesh, P("db"))
         repl = NamedSharding(mesh, P())
         self._keys = jax.device_put(jnp.asarray(keys), shard_db)
         self._counts = jax.device_put(jnp.asarray(counts), shard_db)
-        self._vals_c = jax.device_put(jnp.asarray(vals_c), shard_db)
-        self._vals_o = jax.device_put(jnp.asarray(vals_o), shard_db)
+        self._vals = jax.device_put(jnp.asarray(vals), shard_db)
         self._tax = {
             k: jax.device_put(v, repl) for k, v in tree.device_arrays().items()
         }
@@ -101,7 +102,7 @@ class ShardedClassifier:
         tax = self._tax
         buckets_of = type(table)._buckets_of
 
-        def probe_local(kmers, keys, occbits, vals_c, vals_o):
+        def probe_local(kmers, keys, occbits, vals):
             """Probe the local bucket range; misses for foreign buckets."""
             db_rank = jax.lax.axis_index("db")
             row0 = db_rank.astype(jnp.int64) * rows_per_shard
@@ -123,17 +124,18 @@ class ShardedClassifier:
                     & mine[..., None]
                 )
                 hit = jnp.any(eq, axis=-1)
-                vc = jnp.sum(jnp.where(eq, vals_c[li], 0), axis=-1).astype(jnp.int32)
-                vo = jnp.sum(jnp.where(eq, vals_o[li], 0), axis=-1).astype(jnp.uint32)
+                packed = jnp.sum(jnp.where(eq, vals[li], 0), axis=-1)
+                vc = (packed & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
+                vo = (packed >> jnp.uint64(32)).astype(jnp.uint32)
                 val_c = jnp.where(hit & ~found, vc, val_c)
                 val_o = jnp.where(hit & ~found, vo, val_o)
                 found = found | hit
             return val_c, val_o, found
 
-        def local_step(codes, lengths, keys, occbits, vals_c, vals_o):
+        def local_step(codes, lengths, keys, occbits, vals):
             em = enc.emissions(codes, lengths)
             kmers, valid = em.values, em.mask
-            vc, vo, found = probe_local(kmers, keys, occbits, vals_c, vals_o)
+            vc, vo, found = probe_local(kmers, keys, occbits, vals)
             # merge across db shards: each key on exactly one shard
             vc = jax.lax.psum(vc * found, "db")
             vo = jax.lax.psum(jnp.where(found, vo, 0), "db")
@@ -156,7 +158,7 @@ class ShardedClassifier:
             mesh=mesh,
             in_specs=(
                 P("dp"), P("dp"),
-                P("db"), P("db"), P("db"), P("db"),
+                P("db"), P("db"), P("db"),
             ),
             out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
         )
@@ -172,8 +174,7 @@ class ShardedClassifier:
             jnp.asarray(lengths),
             self._keys,
             self._counts,
-            self._vals_c,
-            self._vals_o,
+            self._vals,
         )
 
 
