@@ -122,6 +122,12 @@ def _bucket_len(n: int, min_len: int = 64) -> int:
     return L
 
 
+def _native_ok(path: str) -> bool:
+    # the native parser reads plain and .gz via zlib; other compressions
+    # go through the Python decompressors
+    return not path.endswith((".xz", ".bz2", ".zst"))
+
+
 def batch_reads(
     path: str,
     lut: np.ndarray,
@@ -130,7 +136,17 @@ def batch_reads(
     keep_seqs: bool = True,
 ) -> Iterator[ReadBatch]:
     """Yield fixed-shape read batches.  Paired-end reads are interleaved
-    (mate pairs adjacent, matching bseq_read's paired layout)."""
+    (mate pairs adjacent, matching bseq_read's paired layout).
+
+    Uses the C++ parser (native/fastx.cpp) when available; Python fallback
+    otherwise."""
+    from .. import native
+
+    if native.available() and _native_ok(path) and (
+        mate_path is None or _native_ok(mate_path)
+    ):
+        yield from _batch_reads_native(path, lut, batch_size, mate_path)
+        return
     it = read_fastx(path)
     mate_it = read_fastx(mate_path) if mate_path else None
 
@@ -154,6 +170,64 @@ def batch_reads(
             names, seqs, quals = [], [], []
     if names:
         yield _make_batch(names, seqs, quals, lut, keep_seqs)
+
+
+def _batch_reads_native(
+    path: str, lut: np.ndarray, batch_size: int, mate_path: Optional[str]
+) -> Iterator[ReadBatch]:
+    from ..native.fastx import NativeFastxReader
+
+    r1 = NativeFastxReader(path)
+    r2 = NativeFastxReader(mate_path) if mate_path else None
+    try:
+        if r2 is None:
+            while True:
+                got = r1.next_batch(batch_size, lut, _bucket_len)
+                if got is None:
+                    return
+                names, seqs, quals, codes, lengths = got
+                yield ReadBatch(
+                    names=names, seqs=seqs, codes=codes, lengths=lengths,
+                    quals=quals,
+                )
+        else:
+            half = max(batch_size // 2, 1)
+            while True:
+                g1 = r1.next_batch(half, lut, _bucket_len)
+                g2 = r2.next_batch(half, lut, _bucket_len)
+                if g1 is None or g2 is None:
+                    return
+                n1, s1, q1, c1, l1 = g1
+                n2, s2, q2, c2, l2 = g2
+                n = min(len(n1), len(n2))
+                L = max(c1.shape[1], c2.shape[1])
+
+                def pad(c):
+                    if c.shape[1] == L:
+                        return c
+                    out = np.full((c.shape[0], L), -1, dtype=np.int8)
+                    out[:, : c.shape[1]] = c
+                    return out
+
+                c1, c2 = pad(c1)[:n], pad(c2)[:n]
+                codes = np.empty((2 * n, L), dtype=np.int8)
+                codes[0::2], codes[1::2] = c1, c2
+                lengths = np.empty(2 * n, dtype=np.int32)
+                lengths[0::2], lengths[1::2] = l1[:n], l2[:n]
+                names: List[bytes] = [None] * (2 * n)  # type: ignore
+                names[0::2], names[1::2] = n1[:n], n2[:n]
+                seqs: List[bytes] = [None] * (2 * n)  # type: ignore
+                seqs[0::2], seqs[1::2] = s1[:n], s2[:n]
+                quals: List[Optional[bytes]] = [None] * (2 * n)
+                quals[0::2], quals[1::2] = q1[:n], q2[:n]
+                yield ReadBatch(
+                    names=names, seqs=seqs, codes=codes, lengths=lengths,
+                    quals=quals,
+                )
+    finally:
+        r1.close()
+        if r2 is not None:
+            r2.close()
 
 
 def _make_batch(names, seqs, quals, lut, keep_seqs) -> ReadBatch:

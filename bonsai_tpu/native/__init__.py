@@ -1,0 +1,120 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+The reference's runtime around the compute path is C/C++ (kseq parsing,
+kthread pools, kstring output); the rebuild keeps the same split: JAX/XLA
+owns device compute, this package owns the host-side hot I/O.  Compiled on
+first use with g++ (cached in _build/); everything has a pure-Python
+fallback so the framework works even without a toolchain.
+
+Set BONSAI_TPU_NO_NATIVE=1 to force the Python fallbacks.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "src")
+_BUILD = os.path.join(_HERE, "_build")
+_LIB = os.path.join(_BUILD, "libbtpu.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _newest_src_mtime() -> float:
+    return max(
+        os.path.getmtime(os.path.join(_SRC, f))
+        for f in os.listdir(_SRC)
+        if f.endswith((".cpp", ".h"))
+    )
+
+
+def _build() -> bool:
+    os.makedirs(_BUILD, exist_ok=True)
+    srcs = [
+        os.path.join(_SRC, f) for f in sorted(os.listdir(_SRC)) if f.endswith(".cpp")
+    ]
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        *srcs, "-o", _LIB, "-lz",
+    ]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    if proc.returncode != 0:
+        sys.stderr.write(f"bonsai_tpu.native: build failed:\n{proc.stderr}\n")
+        return False
+    return True
+
+
+def get_lib():
+    """The loaded native library, or None (fallback to Python paths)."""
+    global _lib, _tried
+    if _lib is not None:
+        return _lib
+    if _tried or os.environ.get("BONSAI_TPU_NO_NATIVE"):
+        return _lib
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        try:
+            if (
+                not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < _newest_src_mtime()
+            ):
+                if not _build():
+                    return None
+            lib = ctypes.CDLL(_LIB)
+        except OSError as e:
+            sys.stderr.write(f"bonsai_tpu.native: load failed: {e}\n")
+            return None
+        _declare(lib)
+        _lib = lib
+    return _lib
+
+
+def _declare(lib):
+    c = ctypes
+    lib.btpu_fastx_open.restype = c.c_void_p
+    lib.btpu_fastx_open.argtypes = [c.c_char_p]
+    lib.btpu_fastx_close.restype = None
+    lib.btpu_fastx_close.argtypes = [c.c_void_p]
+    lib.btpu_next_batch.restype = c.c_int64
+    lib.btpu_next_batch.argtypes = [c.c_void_p, c.c_int64]
+    lib.btpu_last_error.restype = c.c_char_p
+    lib.btpu_last_error.argtypes = [c.c_void_p]
+    lib.btpu_batch_info.restype = None
+    lib.btpu_batch_info.argtypes = [
+        c.c_void_p,
+        c.POINTER(c.c_int64),
+        c.POINTER(c.c_int64),
+        c.POINTER(c.c_int64),
+        c.POINTER(c.c_int32),
+        c.POINTER(c.c_int32),
+    ]
+    lib.btpu_batch_fill.restype = None
+    lib.btpu_batch_fill.argtypes = [
+        c.c_void_p,
+        c.c_void_p,  # names arena
+        c.c_void_p,  # name_offs
+        c.c_void_p,  # seqs arena
+        c.c_void_p,  # seq_offs
+        c.c_void_p,  # quals arena
+        c.c_void_p,  # qual_offs
+        c.c_void_p,  # lut
+        c.c_void_p,  # codes
+        c.c_int64,   # L
+        c.c_void_p,  # lengths
+    ]
+
+
+def available() -> bool:
+    return get_lib() is not None
