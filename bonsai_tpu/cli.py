@@ -93,6 +93,98 @@ def main(argv=None):
     p.add_argument("nameidmap")
     p.add_argument("out")
 
+    p = sub.add_parser(
+        "kmercnt", help="multi-k kmer counting -> .shs/.bin dumps (bin/kmercnt.cpp)"
+    )
+    p.add_argument("paths", nargs="+")
+    p.add_argument("-k", "--ks", default="31", help="comma-separated k values")
+    p.add_argument("-o", "--out-prefix", default=None, help="default: input path")
+    p.add_argument("-C", "--canon", action="store_true")
+    p.add_argument("--shs-only", action="store_true")
+    p.add_argument("--bin-only", action="store_true")
+
+    p = sub.add_parser(
+        "setsketch", aliases=["setsketcher"],
+        help="per-file continuous SetSketch + union (bin/setsketcher.cpp)",
+    )
+    p.add_argument("paths", nargs="*")
+    p.add_argument("-k", type=int, default=31)
+    p.add_argument("-o", "--out", default="default.sketch")
+    p.add_argument("-z", "--sketch-size", type=int, default=4096)
+    p.add_argument("-C", "--no-canon", action="store_true")
+    p.add_argument("-s", "--save-kmer-counts", action="store_true")
+    p.add_argument("-S", "--save-kmers", action="store_true")
+    p.add_argument("-Z", "--no-per-file", action="store_true")
+    p.add_argument("-B", "--basename", action="store_true")
+    p.add_argument("-F", "--paths-file", default=None)
+    p.add_argument("-c", "--cyclic", action="store_true",
+                   help="rolling cyclic hash instead of 2-bit kmers")
+
+    p = sub.add_parser("cmpshs", help="pairwise compare .shs dumps (bin/cmpshs.cpp)")
+    p.add_argument("paths", nargs="+")
+    p.add_argument("-m", "--metric", default="jaccard",
+                   choices=["jaccard", "intersection", "union", "containment"])
+    p.add_argument("-o", "--out", default=None)
+
+    p = sub.add_parser("css2ss", help="continuous -> packed setsketch (bin/css2ss.cpp)")
+    p.add_argument("inp")
+    p.add_argument("out")
+    p.add_argument("-b", "--bits", type=int, default=16)
+
+    p = sub.add_parser(
+        "shs2sketch", help="sorted-hash-set dump -> setsketch (bin/shs2sketch.cpp)"
+    )
+    p.add_argument("inp")
+    p.add_argument("out")
+    p.add_argument("-z", "--sketch-size", type=int, default=4096)
+    p.add_argument("-b", "--bits", type=int, default=16)
+
+    p = sub.add_parser(
+        "ssi-build", aliases=["setsketchindexer"],
+        help="build an LSH index over packed setsketches (bin/setsketchindexer.cpp)",
+    )
+    p.add_argument("sketches", nargs="+")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-r", "--regs-per-hash", type=int, default=4)
+    p.add_argument("-k", type=int, default=0)
+
+    p = sub.add_parser(
+        "ssi-screen", aliases=["setsketchscreener"],
+        help="screen query sketches against an LSH index (bin/setsketchscreener.cpp)",
+    )
+    p.add_argument("index")
+    p.add_argument("queries", nargs="+")
+    p.add_argument("-n", "--topn", type=int, default=10)
+    p.add_argument("-r", "--regs-per-hash", type=int, default=4)
+
+    p = sub.add_parser(
+        "genome2multiset",
+        help="genome -> kmer multiset .bin dump (bin/genome2multiset.cpp)",
+    )
+    p.add_argument("path")
+    p.add_argument("-k", type=int, default=31)
+    p.add_argument("-o", "--out-prefix", default=None)
+    p.add_argument("-C", "--canon", action="store_true")
+
+    p = sub.add_parser("fahist", help="sequence-length histogram (bin/fahist.cpp)")
+    p.add_argument("paths", nargs="+")
+    p.add_argument("-o", "--out", default=None)
+
+    p = sub.add_parser(
+        "kmeridx", help="build a positional kmer index (bin/kmeridx.cpp)"
+    )
+    p.add_argument("path")
+    p.add_argument("-k", type=int, default=31)
+    p.add_argument("-o", "--out", required=True)
+
+    p = sub.add_parser(
+        "rolling-multk", aliases=["rolling_multk"],
+        help="multi-k rolling-hash distinct counts (bin/rolling_multk.cpp)",
+    )
+    p.add_argument("paths", nargs="+")
+    p.add_argument("-k", "--ks", default="17,21,25,29,31")
+    p.add_argument("-C", "--canon", action="store_true")
+
     args = ap.parse_args(argv)
     if args.version:
         from . import __version__
@@ -102,7 +194,16 @@ def main(argv=None):
     if args.cmd is None:
         ap.print_help()
         return 1
-    return globals()[f"_cmd_{args.cmd}"](args)
+    aliases = {
+        "p2": "build", "phase2": "build",
+        "p1": "prebuild", "phase1": "prebuild",
+        "setsketcher": "setsketch",
+        "setsketchindexer": "ssi-build",
+        "setsketchscreener": "ssi-screen",
+        "rolling_multk": "rolling-multk",
+    }
+    cmd = aliases.get(args.cmd, args.cmd).replace("-", "_")
+    return globals()[f"_cmd_{cmd}"](args)
 
 
 def _cmd_classify(args):
@@ -240,6 +341,240 @@ def _cmd_taxmap(args):
     with open(args.out, "w") as fh:
         json.dump(nm, fh)
     print(f"wrote {len(nm)} names", file=sys.stderr)
+    return 0
+
+
+def _cmd_kmercnt(args):
+    from .sketch import shs as shs_mod
+
+    ks = [int(x) for x in args.ks.split(",")]
+    flag = 0
+    if not args.bin_only:
+        flag |= shs_mod.WRITE_SHS
+    if not args.shs_only:
+        flag |= shs_mod.WRITE_KVMAP
+    for path in args.paths:
+        prefix = args.out_prefix or path
+        written = shs_mod.dump_maps(prefix, ks, path, canon=args.canon, flag=flag)
+        print("\n".join(written), file=sys.stderr)
+    return 0
+
+
+def _cmd_setsketch(args):
+    import os
+
+    from .core.alphabet import DNA4
+    from .core import encode as enc_mod, bitops
+    from .io import fastx
+    from .sketch.setsketch import CSetSketch
+    from .sketch.shs import _contig_code_batches
+
+    paths = list(args.paths)
+    if args.paths_file:
+        with open(args.paths_file) as fh:
+            paths += [l.strip() for l in fh if l.strip()]
+    if not paths:
+        print("no input files", file=sys.stderr)
+        return 1
+    k = args.k
+    canon = not args.no_canon
+    save_kmers = args.save_kmers or args.save_kmer_counts
+    union = CSetSketch(args.sketch_size, save_kmers, args.save_kmer_counts)
+    if args.cyclic:
+        from .core.rolling import RollingEncoder
+
+        renc = RollingEncoder(k, canon=canon)
+    for path in paths:
+        s = CSetSketch(args.sketch_size, save_kmers, args.save_kmer_counts)
+        for codes in _contig_code_batches(path, DNA4.lut, overlap=k - 1):
+            if codes.size < k:
+                continue
+            if args.cyclic:
+                vals, invalid = renc.hashes(codes[None, :])
+                v = np.asarray(vals)[0][~np.asarray(invalid)[0]]
+            else:
+                kmers, invalid = enc_mod.pack_kmers(codes[None, :], k)
+                kmers = enc_mod.apply_mask(kmers, k, enc_mod.InputType.DNA)
+                if canon:
+                    kmers = bitops.canonical(kmers, k)
+                v = np.asarray(kmers)[0][~np.asarray(invalid)[0]]
+            s.update(v)
+        card = s.cardinality()
+        print(
+            f"{path}\t{card:.1f}. Total updates {s.total_updates()}",
+            file=sys.stderr,
+        )
+        base = os.path.basename(path) if args.basename else path
+        if not args.no_per_file:
+            s.write(f"{base}.{k}.{args.sketch_size}.ss")
+        if save_kmers:
+            s.ids().tofile(f"{base}.{k}.{args.sketch_size}.u64.kmers")
+            if args.save_kmer_counts:
+                s.idcounts().tofile(
+                    f"{base}.{k}.{args.sketch_size}.u32.kmercounts"
+                )
+        union.merge(s)
+    print(f"union cardinality: {union.cardinality():.1f}", file=sys.stderr)
+    union.write(args.out)
+    return 0
+
+
+def _cmd_cmpshs(args):
+    from .sketch import compare, shs as shs_mod
+
+    sets = [shs_mod.read_shs(p) for p in args.paths]
+    mat = compare.pairwise_matrix(sets, metric=args.metric)
+    out = open(args.out, "w") if args.out else sys.stdout
+    out.write("#path\t" + "\t".join(args.paths) + "\n")
+    for i, p in enumerate(args.paths):
+        out.write(p + "\t" + "\t".join(f"{v:.8g}" for v in mat[i]) + "\n")
+    if args.out:
+        out.close()
+    return 0
+
+
+def _cmd_css2ss(args):
+    from .sketch.setsketch import CSetSketch
+
+    cs = CSetSketch.read(args.inp)
+    b, a = cs.optimal_parameters(qmax=(1 << args.bits) - 1)
+    cs.to_packed(b, a, args.bits).write(args.out)
+    print(f"packed {cs.m} registers (a={a:.6g} b={b:.6g})", file=sys.stderr)
+    return 0
+
+
+def _cmd_shs2sketch(args):
+    from .sketch.setsketch import CSetSketch
+    from .sketch.shs import read_shs
+
+    hashes = read_shs(args.inp)
+    cs = CSetSketch(args.sketch_size)
+    cs.update(hashes)
+    b, a = cs.optimal_parameters(qmax=(1 << args.bits) - 1)
+    cs.to_packed(b, a, args.bits).write(args.out)
+    return 0
+
+
+def _load_packed_sketches(paths, bits=16, ab=None):
+    """Load .ss files; continuous sketches are packed with GLOBAL (a, b)
+    so register values stay comparable across samples (required for LSH
+    grouping).  Returns (sketches, (b, a) or None)."""
+    from .sketch.setsketch import CSetSketch, SetSketch
+
+    loaded = []
+    for p in paths:
+        try:
+            loaded.append(SetSketch.read(p))
+        except ValueError:
+            loaded.append(CSetSketch.read(p))
+    cont = [s for s in loaded if isinstance(s, CSetSketch)]
+    if not cont:
+        return loaded, None
+    if ab is not None:
+        b, a = ab
+    else:
+        maxv = max(s.max() for s in cont)
+        minv = min(s.min() for s in cont if s.min() > 0)
+        b, a = cont[0].optimal_parameters(maxv, minv, (1 << bits) - 1)
+    out = [
+        s.to_packed(b, a, bits) if isinstance(s, CSetSketch) else s
+        for s in loaded
+    ]
+    return out, (b, a)
+
+
+def _cmd_ssi_build(args):
+    from .sketch.ssi import SetSketchIndex
+
+    sketches, packed = _load_packed_sketches(args.sketches)
+    if packed:
+        import json
+
+        print(
+            f"packed continuous inputs with global a={packed[1]:.6g} "
+            f"b={packed[0]:.6g}",
+            file=sys.stderr,
+        )
+        with open(args.out + ".params", "w") as fh:
+            json.dump({"b": packed[0], "a": packed[1], "bits": 16}, fh)
+    idx = SetSketchIndex(k=args.k, regs_per_hash=args.regs_per_hash)
+    for s in sketches:
+        idx.add(s.registers)
+    idx.write(args.out)
+    print(
+        f"indexed {idx.n_samples} sketches, {len(idx.map)} keys", file=sys.stderr
+    )
+    return 0
+
+
+def _cmd_ssi_screen(args):
+    from .sketch.ssi import SetSketchIndex
+
+    import json
+    import os
+
+    idx = SetSketchIndex.read(args.index, regs_per_hash=args.regs_per_hash)
+    ab = None
+    if os.path.exists(args.index + ".params"):
+        with open(args.index + ".params") as fh:
+            d = json.load(fh)
+        ab = (d["b"], d["a"])
+    sketches, _ = _load_packed_sketches(args.queries, ab=ab)
+    for p, s in zip(args.queries, sketches):
+        hits = idx.topk(s.registers, args.topn)
+        row = "\t".join(f"{sid}:{c}" for sid, c in hits)
+        print(f"{p}\t{row}")
+    return 0
+
+
+def _cmd_genome2multiset(args):
+    from .sketch import shs as shs_mod
+
+    prefix = args.out_prefix or args.path
+    written = shs_mod.dump_maps(
+        prefix, [args.k], args.path, canon=args.canon,
+        flag=shs_mod.WRITE_KVMAP,
+    )
+    print("\n".join(written), file=sys.stderr)
+    return 0
+
+
+def _cmd_fahist(args):
+    from collections import Counter as PyCounter
+
+    from .io import fastx
+
+    out = open(args.out, "w") if args.out else sys.stdout
+    for path in args.paths:
+        hist = PyCounter()
+        for _, seq, _ in fastx.read_fastx(path):
+            hist[len(seq)] += 1
+        out.write(f"#{path}\n")
+        for length in sorted(hist):
+            out.write(f"{length}\t{hist[length]}\n")
+    if args.out:
+        out.close()
+    return 0
+
+
+def _cmd_kmeridx(args):
+    from .db.kmeridx import KmerIdx
+
+    idx = KmerIdx(args.k, args.path)
+    idx.write(args.out)
+    print(f"indexed {len(idx)} distinct {args.k}-mers", file=sys.stderr)
+    return 0
+
+
+def _cmd_rolling_multk(args):
+    from .sketch.shs import MultiKCounter
+
+    ks = [int(x) for x in args.ks.split(",")]
+    for path in args.paths:
+        ctr = MultiKCounter(ks, canon=args.canon)
+        ctr.add_file(path)
+        for k, s in zip(ks, ctr.sets()):
+            print(f"{path}\tk={k}\t{s.size}")
     return 0
 
 
