@@ -98,19 +98,27 @@ def main():
     jc = jnp.asarray(codes)
     jl = jnp.asarray(lengths)
     step = clf._step()
-    args = (
-        clf._table_arrays["keys"],
-        clf._table_arrays["occbits"],
-        clf._vals_compact,
-        clf._vals_orig,
-    )
-    # warmup/compile
-    out = step(jc, jl, *args)
-    jax.block_until_ready(out)
+    rows = clf._rows
+
+    # Measurement discipline for the tunneled chip (tools/calibrate_timing.py):
+    # (1) identical repeated dispatches get elided by the remote runtime, so
+    #     every step must consume the previous step's output (chained);
+    # (2) block_until_ready returns before remote execution completes, so
+    #     sync by fetching one element.
+    @jax.jit
+    def chained(jc, jl, rows, salt):
+        # fold the previous step's taxa into the read codes' pad region:
+        # a real data dependency with negligible cost
+        jc = jc.at[:, -1].set((salt[: jc.shape[0]] % 4).astype(jc.dtype))
+        return step(jc, jl, rows)
+
+    salt = jnp.zeros(batch, dtype=jnp.int32)
+    out = chained(jc, jl, rows, salt)
+    np.asarray(out[0][:1])  # sync
     t0 = time.time()
     for _ in range(steps):
-        out = step(jc, jl, *args)
-    jax.block_until_ready(out)
+        out = chained(jc, jl, rows, out[3])
+    np.asarray(out[0][:1])  # sync
     dt = time.time() - t0
     reads_per_s = batch * steps / dt
     print(

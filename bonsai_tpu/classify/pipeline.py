@@ -75,14 +75,13 @@ class Classifier:
 
         table = db.table
         compact_vals = tree.compact(table.vals_sorted, missing_ok=True)
-        # One value table packing both payloads, so classification needs a
-        # single probe (two row gathers total): orig taxid in the high u32,
-        # compact taxonomy index in the low u32.
+        # One fused rows array [keys | packed vals] so classification is a
+        # single probe of two 64B row gathers: orig taxid in the high u32
+        # of each value lane, compact taxonomy index in the low u32.
         packed = (
             table.vals_sorted.astype(np.uint64) << np.uint64(32)
         ) | compact_vals.astype(np.uint32).astype(np.uint64)
-        self._vals_packed = jnp.asarray(table.relabel(packed))
-        self._table_arrays = table.device_arrays()
+        self._rows = jnp.asarray(table.fused_rows(packed))
         self._tax = tree.device_arrays()
         self._step_cache = {}
 
@@ -96,11 +95,10 @@ class Classifier:
         tax = self._tax
 
         @jax.jit
-        def step(codes, lengths, t_keys, t_occ, vals_packed):
+        def step(codes, lengths, rows):
             em = enc.emissions(codes, lengths)
             kmers, valid = em.values, em.mask
-            arrays = dict(keys=t_keys, vals=vals_packed, occbits=t_occ)
-            packed, found = table.probe_device(kmers, arrays=arrays)
+            packed, found = table.probe_device(kmers, rows=rows)
             cidx = (packed & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
             oidx = (packed >> jnp.uint64(32)).astype(jnp.uint32)
             hit = valid & found
@@ -132,9 +130,7 @@ class Classifier:
         taxon, taxa, hit, n_missing, n_kmers = step(
             jnp.asarray(batch.codes),
             jnp.asarray(batch.lengths),
-            self._table_arrays["keys"],
-            self._table_arrays["occbits"],
-            self._vals_packed,
+            self._rows,
         )
         taxon = np.asarray(taxon)
         self.n_classified += int((taxon != 0).sum())

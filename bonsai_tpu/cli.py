@@ -178,6 +178,21 @@ def main(argv=None):
     p.add_argument("-o", "--out", required=True)
 
     p = sub.add_parser(
+        "metatree",
+        help="data-driven taxonomy restructuring (bin/bonsai.cpp:410-518)",
+    )
+    p.add_argument("tax_path", help="nodes.dmp")
+    p.add_argument("nameidmap")
+    p.add_argument("paths", nargs="*")
+    p.add_argument("-k", type=int, default=31)
+    p.add_argument("-F", "--paths-file", default=None)
+    p.add_argument("-L", "--accept-lca", type=int, action="append", default=[])
+    p.add_argument("-n", "--nelem", type=int, default=0,
+                   help="nodes to emit (default roundup64(|tax|)-|tax|)")
+    p.add_argument("-o", "--out", default=None)
+    p.add_argument("-C", "--no-canon", action="store_true")
+
+    p = sub.add_parser(
         "rolling-multk", aliases=["rolling_multk"],
         help="multi-k rolling-hash distinct counts (bin/rolling_multk.cpp)",
     )
@@ -563,6 +578,68 @@ def _cmd_kmeridx(args):
     idx = KmerIdx(args.k, args.path)
     idx.write(args.out)
     print(f"indexed {len(idx)} distinct {args.k}-mers", file=sys.stderr)
+    return 0
+
+
+def _cmd_metatree(args):
+    """metatree_main (bin/bonsai.cpp:410-518): group genomes' taxa by
+    parent, score shared-kmer bit patterns per parent group, emit the best
+    candidate new taxonomy nodes."""
+    from .core.spacer import Spacer
+    from .metatree.flextree import FMEmitter
+    from .metatree.tx import _taxid_of_path
+    from .taxonomy.ncbi import parse_nameid_map
+    from .taxonomy.tree import TaxTree
+
+    tree = TaxTree.from_nodes_dmp(args.tax_path)
+    name_map = parse_nameid_map(args.nameidmap)
+    paths = _paths(args)
+    sp = Spacer(args.k, args.k)
+
+    # filter genomes by accepted LCAs (accepted_pass, bin/bonsai.cpp:404)
+    tax_to_paths = {}
+    for p in paths:
+        tid = _taxid_of_path(p, name_map)
+        if tid is None:
+            continue
+        if args.accept_lca and not any(
+            tree.lca(l, tid) == l for l in args.accept_lca
+        ):
+            continue
+        tax_to_paths.setdefault(tid, []).append(p)
+    if not tax_to_paths:
+        print("no genomes mapped to taxa", file=sys.stderr)
+        return 1
+
+    # tax2desc map: each taxon also sees its descendants' genomes
+    # (tax2desc_genome_map, util.h:1023)
+    desc_map = {t: list(ps) for t, ps in tax_to_paths.items()}
+    for t, ps in tax_to_paths.items():
+        tid = t
+        while True:
+            parent = tree.parent_map.get(tid, 0)
+            if parent == 0:
+                break
+            desc_map.setdefault(parent, []).extend(ps)
+            tid = parent
+
+    fme = FMEmitter(
+        tree, desc_map, canonicalize=not args.no_canon, to_add=args.nelem
+    )
+    # group leaf taxa by parent, one subtree per parent group
+    groups = {}
+    for t in tax_to_paths:
+        groups.setdefault(tree.parent_map.get(t, 0), []).append(t)
+    for parent, taxes in sorted(groups.items()):
+        fme.process_subtree(parent, sorted(taxes), sp)
+    maxtax = max(tree.parent_map)
+    out = open(args.out, "w") if args.out else sys.stdout
+    try:
+        emitted = fme.run_collapse(maxtax, out)
+    finally:
+        if args.out:
+            out.close()
+    print(f"emitted {len(emitted)} candidate nodes", file=sys.stderr)
     return 0
 
 

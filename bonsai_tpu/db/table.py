@@ -2,20 +2,32 @@
 
 TPU-native replacement for the khash classify DB
 (/root/reference/klib khash via include/bonsai/util.h:159-163).  khash's
-scalar quadratic probing has unbounded, data-dependent probe chains — poison
-for a vectorized probe that must execute its worst case for every lane.
-Instead, every key lives in one of two candidate buckets of SLOTS=8
-contiguous u64 slots (one 64-byte row each), so a probe is *exactly two*
-row gathers + vectorized lane compares, regardless of load:
+scalar quadratic probing has unbounded, data-dependent probe chains —
+poison for a vectorized probe that must execute its worst case for every
+lane.  Here every key lives in one of two candidate buckets, and a bucket
+is ONE fused 64-byte row
+
+    [k0 k1 k2 k3 | v0 v1 v2 v3]   (8 x u64 lanes)
+
+so a probe is exactly two 64B row gathers + vectorized lane compares.
+Microbenchmarks on the target chip (tools/probe_microbench2.py) show 64B
+u64x8 rows are the gather sweet spot (11.6 ns/row; two pipeline to 21.6
+ns), while wider rows, slice-gathers, and searchsorted are 2-100x worse —
+this layout is chosen from that evidence.
+
+Empty slots hold POISON keys constructed so neither of their candidate
+buckets is the row they sit in: a query q only ever inspects rows b1(q) /
+b2(q), so poison(x) == q would imply b1(x) == b1(q), a contradiction —
+no occupancy bitmap needs to be fetched.
 
     bucket1 = high bits of splitmix64(key)
     bucket2 = high bits of splitmix64(key ^ SALT)
 
 Build is host-side numpy: greedy two-round placement handles ~99% of keys
 at load 0.65; the rest place by vectorized random-walk cuckoo eviction
-rounds (conflicts resolved by first-claimant-wins, evictees re-enter the
-pool with their alternate bucket).  Fails over to a bigger table if a build
-doesn't converge.  Deterministic: all "randomness" is hashed off key bits.
+rounds (first-claimant-wins, evictees re-enter with their alternate
+bucket).  Fails over to a bigger table if a build doesn't converge.
+Deterministic: all "randomness" is hashed off key bits.
 """
 
 from __future__ import annotations
@@ -26,8 +38,10 @@ import numpy as np
 
 from ..core import hashes
 
-SLOTS = 8
+SLOTS = 4
+LANES = 2 * SLOTS  # fused row: SLOTS keys + SLOTS vals
 SALT = np.uint64(0xA24BAED4963EE407)
+POISON_SALT = np.uint64(0xD6E8FEB86659FD93)
 DEFAULT_LOAD = 0.65
 
 
@@ -36,10 +50,9 @@ def _next_pow2(x: int) -> int:
 
 
 class KmerTable:
-    """keys (nb, SLOTS) u64, vals (nb, SLOTS) u32/u64, counts (nb,) u8.
-
-    ``keys_sorted`` / ``vals_sorted`` are the canonical content (sorted by
-    key); the bucket layout is a derived probe structure."""
+    """``keys_sorted`` / ``vals_sorted`` are the canonical content (sorted
+    by key); the fused bucket layout ``rows`` (nb, 8) u64 is a derived
+    probe structure."""
 
     def __init__(self, keys_sorted: np.ndarray, vals_sorted: np.ndarray,
                  load_factor: float = DEFAULT_LOAD):
@@ -52,10 +65,14 @@ class KmerTable:
         self.keys_sorted = keys_sorted
         self.vals_sorted = vals_sorted
         self.n = int(keys_sorted.size)
-        nb = _next_pow2(max(int(np.ceil(self.n / (SLOTS * load_factor))), 1))
+        # nb >= 4 so poison keys (both candidate buckets != home bucket)
+        # always exist
+        nb = max(
+            _next_pow2(max(int(np.ceil(self.n / (SLOTS * load_factor))), 1)), 4
+        )
         while not self._try_build(nb):
             nb <<= 1
-        self._jax_cache = None
+        self._jax_rows = None
 
     # -- bucket candidates -------------------------------------------------
     @staticmethod
@@ -74,7 +91,7 @@ class KmerTable:
         n = self.n
         self.nb = nb
         self.shift = 64 - int(np.log2(nb)) if nb > 1 else 64
-        keys, vals = self.keys_sorted, self.vals_sorted
+        keys = self.keys_sorted
         owner = np.full(nb * SLOTS, -1, dtype=np.int64)  # sorted-key index
         if n == 0:
             self._finalize(owner)
@@ -128,84 +145,98 @@ class KmerTable:
         self._finalize(owner)
         return True
 
+    def _poison_keys(self, slots: np.ndarray) -> np.ndarray:
+        """A key per flat slot index whose candidate buckets both differ
+        from the bucket the slot sits in (so it can never match a query
+        probing that row)."""
+        bucket = slots // SLOTS
+        cand = hashes.splitmix64(slots.astype(np.uint64) + POISON_SALT)
+        for rnd in range(64):
+            b1, b2 = self._buckets_of(cand, self.shift)
+            bad = (b1 == bucket) | (b2 == bucket)
+            if not bad.any():
+                return cand
+            cand = np.where(
+                bad,
+                hashes.splitmix64(cand + np.uint64(rnd + 1)),
+                cand,
+            )
+        raise RuntimeError("poison search did not converge")
+
     def _finalize(self, owner: np.ndarray):
         nb = self.nb
         keys, vals = self.keys_sorted, self.vals_sorted
         occ = owner >= 0
-        tk = np.zeros(nb * SLOTS, dtype=np.uint64)
-        tv = np.zeros(nb * SLOTS, dtype=vals.dtype if self.n else np.uint32)
+        tk = np.empty(nb * SLOTS, dtype=np.uint64)
+        tv = np.zeros(nb * SLOTS, dtype=np.uint64)
+        empty = np.nonzero(~occ)[0]
+        tk[empty] = self._poison_keys(empty)
         if self.n:
             tk[occ] = keys[owner[occ]]
-            tv[occ] = vals[owner[occ]]
-        self.table_keys = tk.reshape(nb, SLOTS)
-        self.table_vals = tv.reshape(nb, SLOTS)
-        self.table_occ = occ.reshape(nb, SLOTS)
-        # counts: occupied-lane bitmask folded to u8 (lane i occupied bit)
-        lanebits = (occ.reshape(nb, SLOTS) << np.arange(SLOTS)).sum(-1)
-        self.table_occbits = lanebits.astype(np.uint8)
+            tv[occ] = vals[owner[occ]].astype(np.uint64)
+        self.rows = np.concatenate(
+            [tk.reshape(nb, SLOTS), tv.reshape(nb, SLOTS)], axis=1
+        )  # (nb, 8): [keys | vals]
         slot_of = np.full(self.n, -1, dtype=np.int64)
         if self.n:
             slot_of[owner[occ]] = np.nonzero(occ)[0]
         self.slot_of = slot_of
         self.max_scan = 2  # by construction
 
-    # -- host probe (numpy) ----------------------------------------------
+    # -- derived layouts ----------------------------------------------------
+    def fused_rows(self, new_vals_sorted: np.ndarray = None) -> np.ndarray:
+        """(nb, 8) u64 fused rows; optionally with re-encoded values
+        (aligned to keys_sorted), e.g. packed taxid|compact-index."""
+        if new_vals_sorted is None:
+            return self.rows
+        nv = np.asarray(new_vals_sorted).astype(np.uint64)
+        flat = np.zeros(self.nb * SLOTS, dtype=np.uint64)
+        flat[self.slot_of] = nv
+        out = self.rows.copy()
+        out[:, SLOTS:] = flat.reshape(self.nb, SLOTS)
+        return out
+
+    def device_rows(self):
+        if self._jax_rows is None:
+            import jax.numpy as jnp
+
+            self._jax_rows = jnp.asarray(self.rows)
+        return self._jax_rows
+
+    # -- probes -------------------------------------------------------------
     def probe_np(self, queries: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         q = np.asarray(queries, dtype=np.uint64)
         b1, b2 = self._buckets_of(q, self.shift)
-        lane = np.arange(SLOTS)
         found = np.zeros(q.shape, dtype=bool)
-        val = np.zeros(q.shape, dtype=self.vals_sorted.dtype)
+        val = np.zeros(q.shape, dtype=np.uint64)
         for b in (b1, b2):
-            occ = (self.table_occbits[b][..., None] >> lane) & 1
-            eq = (self.table_keys[b] == q[..., None]) & (occ > 0)
+            row = self.rows[b]
+            eq = row[..., :SLOTS] == q[..., None]
             hit = eq.any(-1)
-            v = (self.table_vals[b] * eq).sum(-1).astype(val.dtype)
+            v = (row[..., SLOTS:] * eq).sum(-1)
             val = np.where(hit & ~found, v, val)
             found |= hit
+        if self.vals_sorted.dtype != np.uint64:
+            val = val.astype(self.vals_sorted.dtype)
         return val, found
 
-    # -- device probe (jnp; exactly two row gathers) -----------------------
-    def device_arrays(self):
-        if self._jax_cache is None:
-            import jax.numpy as jnp
-
-            self._jax_cache = dict(
-                keys=jnp.asarray(self.table_keys),
-                vals=jnp.asarray(self.table_vals),
-                occbits=jnp.asarray(self.table_occbits),
-            )
-        return self._jax_cache
-
-    def probe_device(self, queries, arrays=None, vals=None):
-        """queries: (...,) uint64 jnp array -> (vals, found)."""
+    def probe_device(self, queries, rows=None) -> Tuple:
+        """queries: (...,) uint64 jnp array -> (vals u64, found).  Exactly
+        two fused 64B row gathers."""
         import jax.numpy as jnp
 
-        a = arrays or self.device_arrays()
-        tk, tv, toc = a["keys"], a["vals"] if vals is None else vals, a["occbits"]
+        t = self.device_rows() if rows is None else rows
         b1, b2 = self._buckets_of(queries, self.shift, xp=jnp)
-        lane = jnp.arange(SLOTS, dtype=jnp.int32)
         found = jnp.zeros(queries.shape, dtype=bool)
-        val = jnp.zeros(queries.shape, dtype=tv.dtype)
+        val = jnp.zeros(queries.shape, dtype=jnp.uint64)
         for b in (b1, b2):
-            b = b.astype(jnp.int32)
-            krow = tk[b]
-            orow = toc[b]
-            occ = ((orow[..., None] >> lane) & 1) > 0
-            eq = (krow == queries[..., None]) & occ
+            row = t[b.astype(jnp.int32)]
+            eq = row[..., :SLOTS] == queries[..., None]
             hit = jnp.any(eq, axis=-1)
-            v = jnp.sum(jnp.where(eq, tv[b], 0), axis=-1).astype(tv.dtype)
+            v = jnp.sum(jnp.where(eq, row[..., SLOTS:], 0), axis=-1)
             val = jnp.where(hit & ~found, v, val)
             found = found | hit
         return val, found
-
-    def relabel(self, new_vals_sorted: np.ndarray) -> np.ndarray:
-        """Re-encode values (aligned to keys_sorted) into the bucket layout,
-        e.g. compact taxonomy indices for on-device resolution."""
-        new_vals_sorted = np.asarray(new_vals_sorted)
-        flat = np.zeros(self.nb * SLOTS, dtype=new_vals_sorted.dtype)
-        flat[self.slot_of] = new_vals_sorted
-        return flat.reshape(self.nb, SLOTS)
 
     # -- dict-style host access (tests / small tools) ---------------------
     def lookup(self, key: int):

@@ -57,27 +57,21 @@ class ShardedClassifier:
         rows = _pad_rows_pow2(nb, self.ndb) * self.ndb
         pad = rows - nb
         compact_vals = tree.compact(table.vals_sorted, missing_ok=True)
-        # single packed value table (orig taxid high u32, compact idx low u32)
+        # fused [keys | packed vals] rows (orig taxid high u32, compact idx
+        # low u32); the pad rows reuse bucket-0's poison keys, which can
+        # never equal a query probing any row (see table.py)
         packed = (
             table.vals_sorted.astype(np.uint64) << np.uint64(32)
         ) | compact_vals.astype(np.uint32).astype(np.uint64)
-        vals = table.relabel(packed)
-
-        def padrows(a):
-            if pad:
-                z = np.zeros((pad,) + a.shape[1:], dtype=a.dtype)
-                return np.concatenate([a, z], axis=0)
-            return a
-
-        keys = padrows(table.table_keys)
-        counts = padrows(table.table_occbits)
-        vals = padrows(vals)
+        fused = table.fused_rows(packed)
+        if pad:
+            padrows = np.zeros((pad, fused.shape[1]), dtype=fused.dtype)
+            padrows[:, : fused.shape[1] // 2] = np.uint64(0xFFFFFFFFFFFFFFFF)
+            fused = np.concatenate([fused, padrows], axis=0)
 
         shard_db = NamedSharding(mesh, P("db"))
         repl = NamedSharding(mesh, P())
-        self._keys = jax.device_put(jnp.asarray(keys), shard_db)
-        self._counts = jax.device_put(jnp.asarray(counts), shard_db)
-        self._vals = jax.device_put(jnp.asarray(vals), shard_db)
+        self._rows = jax.device_put(jnp.asarray(fused), shard_db)
         self._tax = {
             k: jax.device_put(v, repl) for k, v in tree.device_arrays().items()
         }
@@ -102,12 +96,11 @@ class ShardedClassifier:
         tax = self._tax
         buckets_of = type(table)._buckets_of
 
-        def probe_local(kmers, keys, occbits, vals):
+        def probe_local(kmers, rows):
             """Probe the local bucket range; misses for foreign buckets."""
             db_rank = jax.lax.axis_index("db")
             row0 = db_rank.astype(jnp.int64) * rows_per_shard
             b1, b2 = buckets_of(kmers, shift, xp=jnp)
-            lane = jnp.arange(SLOTS, dtype=jnp.int32)
             found = jnp.zeros(kmers.shape, dtype=bool)
             val_c = jnp.zeros(kmers.shape, dtype=jnp.int32)
             val_o = jnp.zeros(kmers.shape, dtype=jnp.uint32)
@@ -115,16 +108,13 @@ class ShardedClassifier:
                 local = b - row0
                 mine = (local >= 0) & (local < rows_per_shard)
                 li = jnp.clip(local, 0, rows_per_shard - 1).astype(jnp.int32)
-                krow = keys[li]
-                orow = occbits[li]
-                occ = ((orow[..., None] >> lane) & 1) > 0
+                row = rows[li]
                 eq = (
-                    (krow == kmers[..., None])
-                    & occ
+                    (row[..., :SLOTS] == kmers[..., None])
                     & mine[..., None]
                 )
                 hit = jnp.any(eq, axis=-1)
-                packed = jnp.sum(jnp.where(eq, vals[li], 0), axis=-1)
+                packed = jnp.sum(jnp.where(eq, row[..., SLOTS:], 0), axis=-1)
                 vc = (packed & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
                 vo = (packed >> jnp.uint64(32)).astype(jnp.uint32)
                 val_c = jnp.where(hit & ~found, vc, val_c)
@@ -132,10 +122,10 @@ class ShardedClassifier:
                 found = found | hit
             return val_c, val_o, found
 
-        def local_step(codes, lengths, keys, occbits, vals):
+        def local_step(codes, lengths, rows):
             em = enc.emissions(codes, lengths)
             kmers, valid = em.values, em.mask
-            vc, vo, found = probe_local(kmers, keys, occbits, vals)
+            vc, vo, found = probe_local(kmers, rows)
             # merge across db shards: each key on exactly one shard
             vc = jax.lax.psum(vc * found, "db")
             vo = jax.lax.psum(jnp.where(found, vo, 0), "db")
@@ -156,10 +146,7 @@ class ShardedClassifier:
         fn = shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(
-                P("dp"), P("dp"),
-                P("db"), P("db"), P("db"),
-            ),
+            in_specs=(P("dp"), P("dp"), P("db")),
             out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
         )
         return jax.jit(fn)
@@ -172,9 +159,7 @@ class ShardedClassifier:
         return self._fn(
             jnp.asarray(codes),
             jnp.asarray(lengths),
-            self._keys,
-            self._counts,
-            self._vals,
+            self._rows,
         )
 
 
