@@ -178,6 +178,38 @@ def main(argv=None):
     p.add_argument("-o", "--out", required=True)
 
     p = sub.add_parser(
+        "stdin2ss",
+        help="raw u64 stream -> packed setsketch (bin/stdin2ss.cpp)",
+    )
+    p.add_argument("inp", nargs="?", default=None, help="default: stdin")
+    p.add_argument("-S", "--sketch-size", type=int, default=1000)
+    p.add_argument("-a", type=float, default=-1.0)
+    p.add_argument("-b", type=float, default=-1.0)
+    p.add_argument("-H", "--use-short", action="store_true",
+                   help="16-bit registers instead of 8-bit")
+    p.add_argument("-o", "--out", default=None)
+
+    p = sub.add_parser(
+        "setsketchroller",
+        help="build an inverted kmer->samples db from .kmers dumps "
+             "(bin/setsketchroller.cpp)",
+    )
+    p.add_argument("kmer_files", nargs="*")
+    p.add_argument("-F", "--paths-file", default=None)
+    p.add_argument("-k", type=int, default=0)
+    p.add_argument("-o", "--out", default=None)
+    p.add_argument("-b", "--trim-folder", action="store_true")
+
+    p = sub.add_parser(
+        "errexp",
+        help="sketch accuracy experiment: HLL vs CSetSketch jaccard error "
+             "(bin/errexp.cpp)",
+    )
+    p.add_argument("-l", "--linspace", type=float, default=0.1)
+    p.add_argument("--set-sizes", default="16,18,20")
+    p.add_argument("--sketch-sizes", default="8,10,12")
+
+    p = sub.add_parser(
         "metatree",
         help="data-driven taxonomy restructuring (bin/bonsai.cpp:410-518)",
     )
@@ -578,6 +610,95 @@ def _cmd_kmeridx(args):
     idx = KmerIdx(args.k, args.path)
     idx.write(args.out)
     print(f"indexed {len(idx)} distinct {args.k}-mers", file=sys.stderr)
+    return 0
+
+
+def _cmd_stdin2ss(args):
+    """stdin2ss (bin/stdin2ss.cpp): reads 16-byte records, sketches the
+    first u64 of each into a b-bit packed SetSketch."""
+    from .sketch.setsketch import CSetSketch
+
+    fh = open(args.inp, "rb") if args.inp else sys.stdin.buffer
+    try:
+        raw = fh.read()
+    finally:
+        if args.inp:
+            fh.close()
+    vals = np.frombuffer(raw[: len(raw) // 16 * 16], dtype=np.uint64)[0::2]
+    cs = CSetSketch(args.sketch_size)
+    cs.update(vals)
+    bits = 16 if args.use_short else 8
+    if args.a > 0 and args.b > 0:
+        b, a = args.b, args.a
+    else:
+        b, a = cs.optimal_parameters(qmax=(1 << bits) - 1)
+    packed = cs.to_packed(b, a, bits)
+    out = args.out or "/dev/stdout"
+    packed.write(out)
+    print(f"processed {vals.size} total", file=sys.stderr)
+    return 0
+
+
+def _cmd_setsketchroller(args):
+    """setsketchroller (bin/setsketchroller.cpp): inverted kmer -> sample
+    index over the .u64.kmers dumps that `setsketch -S` emits."""
+    import os
+
+    from .sketch.ssi import SetSketchIndex
+
+    paths = list(args.kmer_files)
+    if args.paths_file:
+        with open(args.paths_file) as fh:
+            paths += [l.strip() for l in fh if l.strip()]
+    if not paths:
+        print("no input .kmers files", file=sys.stderr)
+        return 1
+    idx = SetSketchIndex(k=args.k)
+    idx.map = {}
+    for sid, p in enumerate(paths):
+        kmers = np.fromfile(p, dtype=np.uint64)
+        for km in np.unique(kmers):
+            idx.map.setdefault(int(km), []).append(sid)
+        idx.n_samples = sid + 1
+    out = args.out or "/dev/stdout"
+    idx.write(out)
+    names = [os.path.basename(p) if args.trim_folder else p for p in paths]
+    for sid, n in enumerate(names):
+        print(f"{sid}\t{n}", file=sys.stderr)
+    return 0
+
+
+def _cmd_errexp(args):
+    """errexp (bin/errexp.cpp): empirical jaccard-estimation error of HLL
+    vs CSetSketch across set sizes and sketch sizes."""
+    from .sketch.hll import HyperLogLog
+    from .sketch.setsketch import CSetSketch
+
+    rng = np.random.default_rng(0)
+    set_sizes = [1 << int(x) for x in args.set_sizes.split(",")]
+    sketch_p = [int(x) for x in args.sketch_sizes.split(",")]
+    jaccards = np.arange(args.linspace, 1.0, args.linspace)
+    print("#setsize\tsketch\tm\ttrue_j\thll_j\tcss_j")
+    for n in set_sizes:
+        base = rng.integers(0, 1 << 62, 2 * n, dtype=np.uint64)
+        for j in jaccards:
+            # two sets with expected jaccard j: share s elems of n each
+            s = int(round(2 * j / (1 + j) * n))
+            a = base[:n]
+            b = np.concatenate([base[: s], base[n : 2 * n - s]])
+            for p in sketch_p:
+                h1 = HyperLogLog(p)
+                h1.addh(a)
+                h2 = HyperLogLog(p)
+                h2.addh(b)
+                c1 = CSetSketch(1 << p)
+                c1.update(a)
+                c2 = CSetSketch(1 << p)
+                c2.update(b)
+                print(
+                    f"{n}\thll/css\t{1 << p}\t{j:.3f}\t"
+                    f"{h1.jaccard(h2):.4f}\t{c1.jaccard(c2):.4f}"
+                )
     return 0
 
 
