@@ -21,6 +21,7 @@ TDencode(depth(taxid), taxid) and (count, lca) respectively.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -180,6 +181,72 @@ def _gather_genomes(
     return out
 
 
+class IncrementalLCABuilder:
+    """Streaming, checkpointable LCA-map construction.
+
+    The reference's async-future build farm (feature_min.h:93-171) holds
+    every genome's set until fold-in and cannot resume a crashed build
+    (SURVEY §5: no checkpoint/resume).  LCA-merge is associative and
+    commutative, so the running state (sorted keys + folded taxa) is a
+    complete checkpoint: genomes fold in per batch, and a crash resumes
+    from the last saved state + list of processed paths."""
+
+    def __init__(self, tree: TaxTree, checkpoint_path: str | None = None,
+                 fold_every: int = 8):
+        self.tree = tree
+        self.checkpoint_path = checkpoint_path
+        self.fold_every = fold_every
+        self.keys = np.zeros(0, np.uint64)
+        self.taxa = np.zeros(0, np.uint32)
+        self.done: list = []
+        self._buf_k: list = []
+        self._buf_t: list = []
+        self._since_fold = 0
+        if checkpoint_path is not None and os.path.exists(checkpoint_path):
+            with np.load(checkpoint_path, allow_pickle=False) as z:
+                self.keys = z["keys"]
+                self.taxa = z["taxa"]
+                self.done = [p.decode() for p in z["done"]]
+
+    def pending(self, paths: Sequence[str]) -> list:
+        done = set(self.done)
+        return [p for p in paths if p not in done]
+
+    def add_genome(self, path: str, taxid: int, kset: np.ndarray):
+        self._buf_k.append(kset)
+        self._buf_t.append(np.full(kset.size, taxid, dtype=np.uint32))
+        self.done.append(path)
+        self._since_fold += 1
+        if self._since_fold >= self.fold_every:
+            self.fold()
+            if self.checkpoint_path is not None:
+                self.save_checkpoint()
+
+    def fold(self):
+        if not self._buf_k:
+            return
+        keys = np.concatenate([self.keys] + self._buf_k)
+        taxa = np.concatenate([self.taxa] + self._buf_t)
+        self.keys, self.taxa = lca_fold_pairs(keys, taxa, self.tree)
+        self._buf_k, self._buf_t = [], []
+        self._since_fold = 0
+
+    def save_checkpoint(self):
+        self.fold()
+        tmp = self.checkpoint_path + ".tmp.npz"
+        np.savez(
+            tmp[: -len(".npz")],
+            keys=self.keys,
+            taxa=self.taxa,
+            done=np.array([p.encode() for p in self.done]),
+        )
+        os.replace(tmp, self.checkpoint_path)
+
+    def finish(self) -> KmerTable:
+        self.fold()
+        return KmerTable(self.keys, self.taxa.astype(np.uint32))
+
+
 def lca_map(
     paths: Sequence[str],
     tree: TaxTree,
@@ -189,21 +256,22 @@ def lca_map(
     scheme: str = "lex",
     input_type: InputType = InputType.DNA,
     use_device: bool = False,
+    checkpoint_path: str | None = None,
 ) -> KmerTable:
     """Phase-2 classify DB: kmer -> LCA taxid (feature_min.h:178-183,
-    205-228)."""
+    205-228).  With checkpoint_path, the build streams genome-by-genome
+    and resumes after a crash."""
     if isinstance(name_map, str):
         name_map = parse_nameid_map(name_map)
-    gs = _gather_genomes(paths, sp, name_map, canonicalize, scheme,
-                         input_type, use_device=use_device)
-    keys = np.concatenate([k for _, k in gs]) if gs else np.zeros(0, np.uint64)
-    taxa = (
-        np.concatenate([np.full(len(k), t, dtype=np.uint32) for t, k in gs])
-        if gs
-        else np.zeros(0, np.uint32)
-    )
-    k, v = lca_fold_pairs(keys, taxa, tree)
-    return KmerTable(k, v.astype(np.uint32))
+    builder = IncrementalLCABuilder(tree, checkpoint_path)
+    for p in builder.pending(list(paths)):
+        taxid = taxid_for_path(p, name_map)
+        kset = genome_kmer_set(p, sp, canonicalize, scheme, input_type,
+                               use_device=use_device)
+        builder.add_genome(p, taxid, kset)
+    if checkpoint_path is not None:
+        builder.save_checkpoint()
+    return builder.finish()
 
 
 def taxdepth_map(

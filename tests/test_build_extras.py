@@ -1,0 +1,123 @@
+"""Incremental/checkpointed DB builds + disk bit arrays."""
+
+import os
+
+import numpy as np
+import pytest
+
+from bonsai_tpu.core.spacer import Spacer
+from bonsai_tpu.db.build import IncrementalLCABuilder, lca_map
+from bonsai_tpu.db.diskarray import DiskBitArray, MMapTaxonomyBitmap
+from bonsai_tpu.taxonomy.tree import TaxTree
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+@pytest.fixture(scope="module")
+def small_tree():
+    return TaxTree({1: 0, 2: 1, 11: 2, 12: 2, 13: 1})
+
+
+def _kset(seed, n):
+    return np.unique(
+        np.random.default_rng(seed).integers(0, 1 << 40, n, dtype=np.uint64)
+    )
+
+
+def test_incremental_matches_batch(small_tree, tmp_path):
+    sets = {11: _kset(1, 5000), 12: _kset(2, 5000), 13: _kset(3, 5000)}
+    # batch fold
+    keys = np.concatenate(list(sets.values()))
+    taxa = np.concatenate(
+        [np.full(s.size, t, dtype=np.uint32) for t, s in sets.items()]
+    )
+    from bonsai_tpu.db.build import lca_fold_pairs
+
+    bk, bt = lca_fold_pairs(keys, taxa, small_tree)
+    # incremental, fold_every=1
+    b = IncrementalLCABuilder(small_tree, fold_every=1)
+    for t, s in sets.items():
+        b.add_genome(f"g{t}", t, s)
+    table = b.finish()
+    np.testing.assert_array_equal(table.keys_sorted, bk)
+    np.testing.assert_array_equal(table.vals_sorted, bt)
+
+
+def test_checkpoint_resume(small_tree, tmp_path):
+    ckpt = str(tmp_path / "build.ckpt.npz")
+    sets = [(f"g{i}", 11 + (i % 3), _kset(10 + i, 2000)) for i in range(6)]
+    # interrupted build: first 3 genomes, checkpoint, then "crash"
+    b1 = IncrementalLCABuilder(small_tree, ckpt, fold_every=2)
+    for p, t, s in sets[:3]:
+        b1.add_genome(p, t, s)
+    b1.save_checkpoint()
+    # resume in a fresh builder
+    b2 = IncrementalLCABuilder(small_tree, ckpt, fold_every=2)
+    pend = b2.pending([p for p, _, _ in sets])
+    assert pend == [p for p, _, _ in sets[3:]]
+    for p, t, s in sets[3:]:
+        b2.add_genome(p, t, s)
+    t2 = b2.finish()
+    # equals a clean single-pass build
+    b3 = IncrementalLCABuilder(small_tree)
+    for p, t, s in sets:
+        b3.add_genome(p, t, s)
+    t3 = b3.finish()
+    np.testing.assert_array_equal(t2.keys_sorted, t3.keys_sorted)
+    np.testing.assert_array_equal(t2.vals_sorted, t3.vals_sorted)
+    # 13 taxa merge to LCA of {11..13}: content sanity
+    assert set(np.unique(t3.vals_sorted)) <= {1, 2, 11, 12, 13}
+
+
+def test_lca_map_checkpoint_path(small_tree, tmp_path):
+    genomes = [
+        os.path.join(DATA, "ec", f)
+        for f in sorted(os.listdir(os.path.join(DATA, "ec")))[:2]
+    ]
+    name_map = {}
+    from bonsai_tpu.io import fastx
+    from bonsai_tpu.taxonomy.ncbi import accession_from_header
+
+    for gi, g in enumerate(genomes):
+        name_map[accession_from_header(fastx.first_header(g))] = 11 + gi
+    sp = Spacer(21, 21)
+    ckpt = str(tmp_path / "ck.npz")
+    t1 = lca_map(genomes, small_tree, name_map, sp, checkpoint_path=ckpt)
+    assert os.path.exists(ckpt)
+    # resuming with all genomes done returns identical content instantly
+    t2 = lca_map(genomes, small_tree, name_map, sp, checkpoint_path=ckpt)
+    np.testing.assert_array_equal(t1.keys_sorted, t2.keys_sorted)
+    np.testing.assert_array_equal(t1.vals_sorted, t2.vals_sorted)
+
+
+def test_diskbitarray(tmp_path):
+    p = str(tmp_path / "bits.bin")
+    d = DiskBitArray(p, 100, 37, create=True)
+    d.set_bits(np.array([0, 0, 5, 99]), np.array([0, 36, 7, 8]))
+    d.flush()
+    assert d.get_bit(0, 0) and d.get_bit(0, 36) and d.get_bit(5, 7)
+    assert not d.get_bit(1, 0)
+    row = d.row(0)
+    assert row.shape == (37,) and row.sum() == 2
+    np.testing.assert_array_equal(
+        d.popcounts(), [2] + [0] * 4 + [1] + [0] * 93 + [1]
+    )
+    # reopen without create
+    d2 = DiskBitArray(p, 100, 37)
+    assert d2.get_bit(99, 8)
+
+
+def test_mmap_taxonomy_bitmap(tmp_path):
+    p = str(tmp_path / "taxbits.bin")
+    keys = np.sort(_kset(5, 1000))
+    bm = MMapTaxonomyBitmap(p, keys, 8, create=True)
+    bm.set_kmers(keys[:100], 0)
+    bm.set_kmers(keys[50:150], 3)
+    bm.set_kmers(np.array([keys[0] + 1], dtype=np.uint64), 5)  # absent kmer
+    bm.flush()
+    r = bm.kmer_row(int(keys[60]))
+    assert r[0] and r[3] and not r[5]
+    assert bm.kmer_row(int(keys[200])) is not None
+    assert bm.kmer_row(int(keys[0]) + 1) is None
+    bm2 = MMapTaxonomyBitmap.open(p, keys)
+    assert bm2.kmer_row(int(keys[60]))[3]
