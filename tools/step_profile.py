@@ -74,12 +74,16 @@ def main():
     def full(jc, jl, rows, salt=0):
         return clf._step()(salt_codes(jc, salt), jl, rows)
 
-    for name, fn in [
-        ("encode only", enc_only),
-        ("encode+probe", enc_probe),
-        ("encode+probe+resolve", enc_probe_resolve),
-        ("full step", full),
-    ]:
+    parts = {
+        "encode": ("encode only", enc_only),
+        "probe": ("encode+probe", enc_probe),
+        "resolve": ("encode+probe+resolve", enc_probe_resolve),
+        "full": ("full step", full),
+    }
+    sel = os.environ.get("PART")
+    for key, (name, fn) in parts.items():
+        if sel and key != sel:
+            continue
         dt = timed(fn, jc, jl, rows)
         print(f"{name:24s} {dt*1e3:8.2f} ms  ({B/dt/1e3:.0f} kreads/s)",
               flush=True)
