@@ -232,6 +232,17 @@ def main(argv=None):
     p.add_argument("-k", "--ks", default="17,21,25,29,31")
     p.add_argument("-C", "--canon", action="store_true")
 
+    p = sub.add_parser(
+        "rolling-multk-sketch", aliases=["rolling_multk_sketch"],
+        help="per-k CSetSketch over a rolling multi-k ladder "
+             "(bin/rolling_multk_sketch.cpp)",
+    )
+    p.add_argument("paths", nargs="+")
+    p.add_argument("-k", "--ks", default="17,21,25,29,31")
+    p.add_argument("-z", "--sketch-size", type=int, default=1024)
+    p.add_argument("-C", "--canon", action="store_true")
+    p.add_argument("-o", "--out-prefix", default=None)
+
     args = ap.parse_args(argv)
     if args.version:
         from . import __version__
@@ -248,6 +259,7 @@ def main(argv=None):
         "setsketchindexer": "ssi-build",
         "setsketchscreener": "ssi-screen",
         "rolling_multk": "rolling-multk",
+        "rolling_multk_sketch": "rolling-multk-sketch",
     }
     cmd = aliases.get(args.cmd, args.cmd).replace("-", "_")
     return globals()[f"_cmd_{cmd}"](args)
@@ -773,6 +785,25 @@ def _cmd_rolling_multk(args):
         ctr.add_file(path)
         for k, s in zip(ks, ctr.sets()):
             print(f"{path}\tk={k}\t{s.size}")
+    return 0
+
+
+def _cmd_rolling_multk_sketch(args):
+    """rolling_multk_sketch (bin/rolling_multk_sketch.cpp): one rolling
+    pass per file, a CSetSketch per k."""
+    from .sketch.setsketch import CSetSketch
+    from .sketch.shs import MultiKCounter
+
+    ks = [int(x) for x in args.ks.split(",")]
+    for path in args.paths:
+        ctr = MultiKCounter(ks, canon=args.canon)
+        ctr.add_file(path)
+        for k, hashes_sorted in zip(ks, ctr.sets()):
+            cs = CSetSketch(args.sketch_size)
+            cs.update(hashes_sorted)
+            print(f"{path}\tk={k}\tcard~{cs.cardinality():.1f}")
+            if args.out_prefix:
+                cs.write(f"{args.out_prefix}.{k}.css")
     return 0
 
 

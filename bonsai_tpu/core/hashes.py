@@ -91,3 +91,56 @@ def splitmix64(x):
     x = (x ^ (x >> c(30))) * c(0xBF58476D1CE4E5B9)
     x = (x ^ (x >> c(27))) * c(0x94D049BB133111EB)
     return x ^ (x >> c(31))
+
+
+def wang_hash_inv(x):
+    """Inverse of wang_hash (irving_inv_hash, hash.h:94-120)."""
+    xp = _xp(x)
+
+    def c(v):
+        return xp.uint64(v)
+
+    key = xp.asarray(x, dtype=xp.uint64) if xp is __import__("numpy") else x
+    tmp = key - (key << c(31))
+    key = key - (tmp << c(31))
+    tmp = key ^ (key >> c(28))
+    key = key ^ (tmp >> c(28))
+    key = key * c(14933078535860113213)
+    tmp = key ^ (key >> c(14))
+    tmp = key ^ (tmp >> c(14))
+    tmp = key ^ (tmp >> c(14))
+    key = key ^ (tmp >> c(14))
+    key = key * c(15244667743933553977)
+    tmp = key ^ (key >> c(24))
+    key = key ^ (tmp >> c(24))
+    tmp = ~key
+    tmp = ~(key - (tmp << c(21)))
+    tmp = ~(key - (tmp << c(21)))
+    key = ~(key - (tmp << c(21)))
+    return key
+
+
+def lrot(x, r: int):
+    """Left bit rotate (hash.h lrot)."""
+    return rotl64(x, r)
+
+
+def rrot(x, r: int):
+    """Right bit rotate (hash.h rrot)."""
+    return rotl64(x, (64 - r) % 64)
+
+
+def dbm_hash(s: bytes) -> int:
+    """sdbm string hash (hash.h dbm_hash)."""
+    h = 0
+    for ch in s:
+        h = (ch + (h << 6) + (h << 16) - h) & ((1 << 64) - 1)
+    return h
+
+
+def x31_hash(s: bytes) -> int:
+    """khash X31 string hash (hash.h:123-128)."""
+    h = 0
+    for ch in s:
+        h = ((h << 5) - h + ch) & 0xFFFFFFFF
+    return h

@@ -155,3 +155,18 @@ def estimate_cardinality(
     for arr in kmer_arrays:
         h.addh(np.asarray(arr, dtype=np.uint64))
     return h.report()
+
+
+def count_cardinality(paths, sp=None, canonicalize: bool = True, k: int = 31):
+    """EXACT distinct-minimizer count across files (count_cardinality,
+    encoder.h:1052-1094: per-file khash sets -> union -> size; here
+    per-file sorted sets -> merged unique)."""
+    from ..core.spacer import Spacer
+    from ..db.build import genome_kmer_set
+
+    if sp is None:
+        sp = Spacer(k, k)
+    sets = [genome_kmer_set(p, sp, canonicalize) for p in paths]
+    if not sets:
+        return 0
+    return int(np.unique(np.concatenate(sets)).size)
