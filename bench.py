@@ -98,7 +98,7 @@ def main():
     jc = jnp.asarray(codes)
     jl = jnp.asarray(lengths)
     step = clf._step()
-    rows = clf._rows
+    slots, vals, _ = clf._arrays
 
     # Measurement discipline for the tunneled chip (tools/calibrate_timing.py):
     # (1) identical repeated dispatches get elided by the remote runtime, so
@@ -106,18 +106,18 @@ def main():
     # (2) block_until_ready returns before remote execution completes, so
     #     sync by fetching one element.
     @jax.jit
-    def chained(jc, jl, rows, salt):
+    def chained(jc, jl, slots, vals, salt):
         # fold the previous step's taxa into the read codes' pad region:
         # a real data dependency with negligible cost
         jc = jc.at[:, -1].set((salt[: jc.shape[0]] % 4).astype(jc.dtype))
-        return step(jc, jl, rows)
+        return step(jc, jl, slots, vals)
 
     salt = jnp.zeros(batch, dtype=jnp.int32)
-    out = chained(jc, jl, rows, salt)
+    out = chained(jc, jl, slots, vals, salt)
     np.asarray(out[0][:1])  # sync
     t0 = time.time()
     for _ in range(steps):
-        out = chained(jc, jl, rows, out[3])
+        out = chained(jc, jl, slots, vals, out[3])
     np.asarray(out[0][:1])  # sync
     dt = time.time() - t0
     reads_per_s = batch * steps / dt

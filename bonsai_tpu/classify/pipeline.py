@@ -75,13 +75,13 @@ class Classifier:
 
         table = db.table
         compact_vals = tree.compact(table.vals_sorted, missing_ok=True)
-        # One fused rows array [keys | packed vals] so classification is a
-        # single probe of two 64B row gathers: orig taxid in the high u32
-        # of each value lane, compact taxonomy index in the low u32.
+        # One probe yields both payloads: orig taxid in the high u32 of
+        # the (usually tiny unique-values) table, compact taxonomy index
+        # in the low u32.
         packed = (
             table.vals_sorted.astype(np.uint64) << np.uint64(32)
         ) | compact_vals.astype(np.uint32).astype(np.uint64)
-        self._rows = jnp.asarray(table.fused_rows(packed))
+        self._arrays = table.device_arrays(packed)
         self._tax = tree.device_arrays()
         self._step_cache = {}
 
@@ -94,11 +94,15 @@ class Classifier:
         enc = self.enc
         tax = self._tax
 
+        inline = self._arrays[2]
+
         @jax.jit
-        def step(codes, lengths, rows):
+        def step(codes, lengths, slots, vals):
             em = enc.emissions(codes, lengths)
             kmers, valid = em.values, em.mask
-            packed, found = table.probe_device(kmers, rows=rows)
+            packed, found = table.probe_device(
+                kmers, arrays=(slots, vals, inline)
+            )
             cidx = (packed & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
             oidx = (packed >> jnp.uint64(32)).astype(jnp.uint32)
             hit = valid & found
@@ -130,7 +134,8 @@ class Classifier:
         taxon, taxa, hit, n_missing, n_kmers = step(
             jnp.asarray(batch.codes),
             jnp.asarray(batch.lengths),
-            self._rows,
+            self._arrays[0],
+            self._arrays[1],
         )
         taxon = np.asarray(taxon)
         self.n_classified += int((taxon != 0).sum())

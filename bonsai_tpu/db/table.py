@@ -1,48 +1,57 @@
-"""Bucketized two-choice cuckoo k-mer table: HBM-resident, gather-probed.
+"""Quotient cuckoo k-mer table: HBM-resident, gather-probed.
 
 TPU-native replacement for the khash classify DB
 (/root/reference/klib khash via include/bonsai/util.h:159-163).  khash's
 scalar quadratic probing has unbounded, data-dependent probe chains —
 poison for a vectorized probe that must execute its worst case for every
-lane.  Here every key lives in one of two candidate buckets, and a bucket
-is ONE fused 64-byte row
+lane.  Here a probe is exactly TWO 32-byte row gathers plus one
+small-table value gather, with the layout chosen from on-chip gather
+microbenchmarks (tools/gather_curve.py): row-gather cost is flat
+(~10 ns) for tables up to ~128 MB and ~3x worse beyond, so the design
+minimizes the gathered table's bytes:
 
-    [k0 k1 k2 k3 | v0 v1 v2 v3]   (8 x u64 lanes)
+* keys are stored as the QUOTIENT of an invertible hash — zero
+  information loss, no false positives:
 
-so a probe is exactly two 64B row gathers + vectorized lane compares.
-Microbenchmarks on the target chip (tools/probe_microbench2.py) show 64B
-u64x8 rows are the gather sweet spot (11.6 ns/row; two pipeline to 21.6
-ns), while wider rows, slice-gathers, and searchsorted are 2-100x worse —
-this layout is chosen from that evidence.
+      h  = splitmix64(kmer)            (bijective)
+      b1 = h & (nb-1)                  (nb a power of two)
+      q  = h >> log2(nb)
+      b2 = b1 ^ (g(q) & (nb-1))        (partial-key cuckoo: the second
+                                        bucket is derivable from what the
+                                        slot stores)
 
-Empty slots hold POISON keys constructed so neither of their candidate
-buckets is the row they sit in: a query q only ever inspects rows b1(q) /
-b2(q), so poison(x) == q would imply b1(x) == b1(q), a contradiction —
-no occupancy bitmap needs to be fetched.
+* a slot is one u64:  [occupied:1 | choice:1 | q:qbits | val_idx:vbits]
+  with qbits = 64-log2(nb) and vbits = log2(nb)-2.  A probe compares
+  (slot & ~vmask) against a single expected word per choice — one AND +
+  compare per lane.  Empty slots are all-zero and can never match (the
+  occupied bit is set in every expected word).
 
-    bucket1 = high bits of splitmix64(key)
-    bucket2 = high bits of splitmix64(key ^ SALT)
+* values live OUT of the hot rows: when the DB has few distinct values
+  (the common case — LCA taxids), val_idx indexes a small unique-values
+  array (tiny-table gathers are ~8.5 ns flat); otherwise a parallel
+  slot-indexed u64 array is used and the value is one element gather at
+  the matched slot.
 
-Build is host-side numpy: greedy two-round placement handles ~99% of keys
-at load 0.65; the rest place by vectorized random-walk cuckoo eviction
-rounds (first-claimant-wins, evictees re-enter with their alternate
-bucket).  Fails over to a bigger table if a build doesn't converge.
-Deterministic: all "randomness" is hashed off key bits.
+Buckets have SLOTS=4 slots (one 32B row).  Build is host-side numpy:
+greedy two-round placement + vectorized random-walk cuckoo eviction,
+growing the table if a build doesn't converge (two-choice, 4-slot load
+threshold ~0.93; we size at <= 0.87).  Deterministic throughout.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
 from ..core import hashes
 
 SLOTS = 4
-LANES = 2 * SLOTS  # fused row: SLOTS keys + SLOTS vals
-SALT = np.uint64(0xA24BAED4963EE407)
-POISON_SALT = np.uint64(0xD6E8FEB86659FD93)
-DEFAULT_LOAD = 0.65
+BSALT = np.uint64(0xA24BAED4963EE407)
+MAX_LOAD = 0.87
+
+_OCC = np.uint64(1) << np.uint64(63)
+_CHOICE = np.uint64(1) << np.uint64(62)
 
 
 def _next_pow2(x: int) -> int:
@@ -51,11 +60,10 @@ def _next_pow2(x: int) -> int:
 
 class KmerTable:
     """``keys_sorted`` / ``vals_sorted`` are the canonical content (sorted
-    by key); the fused bucket layout ``rows`` (nb, 8) u64 is a derived
-    probe structure."""
+    by key); the quotient-slot layout is a derived probe structure."""
 
     def __init__(self, keys_sorted: np.ndarray, vals_sorted: np.ndarray,
-                 load_factor: float = DEFAULT_LOAD):
+                 load_factor: float = MAX_LOAD):
         keys_sorted = np.asarray(keys_sorted, dtype=np.uint64)
         vals_sorted = np.asarray(vals_sorted)
         if keys_sorted.ndim != 1 or keys_sorted.shape != vals_sorted.shape:
@@ -65,44 +73,53 @@ class KmerTable:
         self.keys_sorted = keys_sorted
         self.vals_sorted = vals_sorted
         self.n = int(keys_sorted.size)
-        # nb >= 4 so poison keys (both candidate buckets != home bucket)
-        # always exist
+        self._h = hashes.splitmix64(keys_sorted)
         nb = max(
-            _next_pow2(max(int(np.ceil(self.n / (SLOTS * load_factor))), 1)), 4
+            _next_pow2(max(int(np.ceil(self.n / (SLOTS * load_factor))), 1)),
+            4,
         )
         while not self._try_build(nb):
             nb <<= 1
-        self._jax_rows = None
+        self._np_arrays = None
+        self._jax_arrays = None
 
     # -- bucket candidates -------------------------------------------------
     @staticmethod
-    def _buckets_of(keys, shift: int, xp=np):
-        h1 = hashes.splitmix64(keys)
-        h2 = hashes.splitmix64(keys ^ SALT if xp is np else keys ^ xp.uint64(SALT))
-        if shift >= 64:
-            z = (keys * xp.uint64(0)).astype(xp.int64)
-            return z, z
-        b1 = (h1 >> xp.uint64(shift)).astype(xp.int64)
-        b2 = (h2 >> xp.uint64(shift)).astype(xp.int64)
-        return b1, b2
+    def _split(h, lgnb: int, xp=np):
+        """(b1, q, b2) for hashed keys h."""
+        mask = xp.uint64((1 << lgnb) - 1)
+        b1 = h & mask
+        q = h >> xp.uint64(lgnb)
+        g = hashes.splitmix64(q ^ xp.uint64(BSALT))
+        b2 = b1 ^ (g & mask)
+        return b1, q, b2
+
+    def _buckets_of(self, keys, xp=np):
+        h = hashes.splitmix64(keys)
+        b1, _, b2 = self._split(h, self.lgnb, xp)
+        return b1.astype(xp.int64), b2.astype(xp.int64)
 
     # -- build --------------------------------------------------------------
     def _try_build(self, nb: int, max_rounds: int = 500) -> bool:
         n = self.n
         self.nb = nb
-        self.shift = 64 - int(np.log2(nb)) if nb > 1 else 64
-        keys = self.keys_sorted
-        owner = np.full(nb * SLOTS, -1, dtype=np.int64)  # sorted-key index
+        self.lgnb = int(np.log2(nb))
+        self.qbits = 64 - self.lgnb
+        self.vbits = max(self.lgnb - 2, 0)
+        owner = np.full(nb * SLOTS, -1, dtype=np.int64)
+        choice = np.zeros(nb * SLOTS, dtype=np.uint8)
         if n == 0:
-            self._finalize(owner)
+            self.owner, self.choice = owner, choice
+            self._finalize()
             return True
-        b1, b2 = self._buckets_of(keys, self.shift)
+        b1_, q_, b2_ = self._split(self._h, self.lgnb)
+        b1 = b1_.astype(np.int64)
+        b2 = b2_.astype(np.int64)
 
         counts = np.zeros(nb, dtype=np.int64)
         homeless = np.arange(n)
 
-        def greedy(idx, b):
-            """Place idx into buckets b where space remains; return losers."""
+        def greedy(idx, b, ch):
             nonlocal counts
             if idx.size == 0:
                 return idx
@@ -115,127 +132,160 @@ class KmerTable:
             win = rank < free
             wi = si[win]
             lane = counts[sb[win]] + rank[win]
-            owner[sb[win] * SLOTS + lane] = wi
+            slot = sb[win] * SLOTS + lane
+            owner[slot] = wi
+            choice[slot] = ch
             counts = counts + np.bincount(sb[win], minlength=nb)
             return si[~win]
 
-        homeless = greedy(homeless, b1)
-        homeless = greedy(homeless, b2)
+        homeless = greedy(homeless, b1, 0)
+        homeless = greedy(homeless, b2, 1)
 
-        # vectorized random-walk eviction
         for rnd in range(max_rounds):
             if homeless.size == 0:
                 break
-            k = keys[homeless]
+            k = self.keys_sorted[homeless]
             r = hashes.splitmix64(k + np.uint64(0x9E37 + rnd))
             use_b2 = (r & np.uint64(1)).astype(bool)
             tb = np.where(use_b2, b2[homeless], b1[homeless])
             lane = ((r >> np.uint64(1)) % np.uint64(SLOTS)).astype(np.int64)
             slot = tb * SLOTS + lane
-            # first claimant per slot wins
             uniq, first = np.unique(slot, return_index=True)
             winners = homeless[first]
             evicted = owner[uniq]
             owner[uniq] = winners
+            choice[uniq] = use_b2[first].astype(np.uint8)
             keep = np.ones(homeless.size, dtype=bool)
             keep[first] = False
             homeless = np.concatenate([homeless[keep], evicted[evicted >= 0]])
         if homeless.size:
             return False
-        self._finalize(owner)
+        self.owner, self.choice = owner, choice
+        self._finalize()
         return True
 
-    def _poison_keys(self, slots: np.ndarray) -> np.ndarray:
-        """A key per flat slot index whose candidate buckets both differ
-        from the bucket the slot sits in (so it can never match a query
-        probing that row)."""
-        bucket = slots // SLOTS
-        cand = hashes.splitmix64(slots.astype(np.uint64) + POISON_SALT)
-        for rnd in range(64):
-            b1, b2 = self._buckets_of(cand, self.shift)
-            bad = (b1 == bucket) | (b2 == bucket)
-            if not bad.any():
-                return cand
-            cand = np.where(
-                bad,
-                hashes.splitmix64(cand + np.uint64(rnd + 1)),
-                cand,
-            )
-        raise RuntimeError("poison search did not converge")
-
-    def _finalize(self, owner: np.ndarray):
-        nb = self.nb
-        keys, vals = self.keys_sorted, self.vals_sorted
-        occ = owner >= 0
-        tk = np.empty(nb * SLOTS, dtype=np.uint64)
-        tv = np.zeros(nb * SLOTS, dtype=np.uint64)
-        empty = np.nonzero(~occ)[0]
-        tk[empty] = self._poison_keys(empty)
-        if self.n:
-            tk[occ] = keys[owner[occ]]
-            tv[occ] = vals[owner[occ]].astype(np.uint64)
-        self.rows = np.concatenate(
-            [tk.reshape(nb, SLOTS), tv.reshape(nb, SLOTS)], axis=1
-        )  # (nb, 8): [keys | vals]
+    def _finalize(self):
+        occ = self.owner >= 0
+        self.occ_mask = occ
         slot_of = np.full(self.n, -1, dtype=np.int64)
         if self.n:
-            slot_of[owner[occ]] = np.nonzero(occ)[0]
+            slot_of[self.owner[occ]] = np.nonzero(occ)[0]
         self.slot_of = slot_of
         self.max_scan = 2  # by construction
 
-    # -- derived layouts ----------------------------------------------------
-    def fused_rows(self, new_vals_sorted: np.ndarray = None) -> np.ndarray:
-        """(nb, 8) u64 fused rows; optionally with re-encoded values
-        (aligned to keys_sorted), e.g. packed taxid|compact-index."""
-        if new_vals_sorted is None:
-            return self.rows
-        nv = np.asarray(new_vals_sorted).astype(np.uint64)
+    # -- derived probe arrays ----------------------------------------------
+    def _encode_slots(self, vals_aligned: np.ndarray):
+        """(slots (nb, SLOTS) u64, vals, inline) for values aligned to
+        keys_sorted."""
+        vals_aligned = np.asarray(vals_aligned)
+        v64 = vals_aligned.astype(np.uint64)
+        uniq = np.unique(v64) if self.n else np.zeros(1, np.uint64)
+        if uniq.size == 0:
+            uniq = np.zeros(1, np.uint64)
+        inline = uniq.size <= (1 << self.vbits)
+        occ = self.occ_mask
+        words = np.zeros(self.nb * SLOTS, dtype=np.uint64)
+        if self.n:
+            own = self.owner[occ]
+            q = self._h[own] >> np.uint64(self.lgnb)
+            w = (
+                _OCC
+                | (self.choice[occ].astype(np.uint64) << np.uint64(62))
+                | (q << np.uint64(self.vbits))
+            )
+            if inline:
+                validx = np.searchsorted(uniq, v64[own]).astype(np.uint64)
+                w = w | validx
+            words[occ] = w
+        slots = words.reshape(self.nb, SLOTS)
+        if inline:
+            return slots, uniq, True
         flat = np.zeros(self.nb * SLOTS, dtype=np.uint64)
-        flat[self.slot_of] = nv
-        out = self.rows.copy()
-        out[:, SLOTS:] = flat.reshape(self.nb, SLOTS)
+        if self.n:
+            flat[occ] = v64[self.owner[occ]]
+        return slots, flat.reshape(self.nb, SLOTS), False
+
+    def arrays_np(self, new_vals_sorted: Optional[np.ndarray] = None):
+        if new_vals_sorted is None:
+            if self._np_arrays is None:
+                self._np_arrays = self._encode_slots(self.vals_sorted)
+            return self._np_arrays
+        return self._encode_slots(new_vals_sorted)
+
+    def device_arrays(self, new_vals_sorted: Optional[np.ndarray] = None):
+        import jax.numpy as jnp
+
+        if new_vals_sorted is None and self._jax_arrays is not None:
+            return self._jax_arrays
+        slots, vals, inline = self.arrays_np(new_vals_sorted)
+        out = (jnp.asarray(slots), jnp.asarray(vals), inline)
+        if new_vals_sorted is None:
+            self._jax_arrays = out
         return out
 
-    def device_rows(self):
-        if self._jax_rows is None:
-            import jax.numpy as jnp
-
-            self._jax_rows = jnp.asarray(self.rows)
-        return self._jax_rows
-
     # -- probes -------------------------------------------------------------
-    def probe_np(self, queries: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        q = np.asarray(queries, dtype=np.uint64)
-        b1, b2 = self._buckets_of(q, self.shift)
-        found = np.zeros(q.shape, dtype=bool)
-        val = np.zeros(q.shape, dtype=np.uint64)
-        for b in (b1, b2):
-            row = self.rows[b]
-            eq = row[..., :SLOTS] == q[..., None]
-            hit = eq.any(-1)
-            v = (row[..., SLOTS:] * eq).sum(-1)
+    def _expected(self, q, xp):
+        """(e1, e2, vmask): expected slot words per choice."""
+        vmask = xp.uint64((1 << self.vbits) - 1)
+        base = xp.uint64(1 << 63) | (q << xp.uint64(self.vbits))
+        return base, base | xp.uint64(1 << 62), vmask
+
+    def probe_np(self, queries: np.ndarray,
+                 arrays=None) -> Tuple[np.ndarray, np.ndarray]:
+        q_in = np.asarray(queries, dtype=np.uint64)
+        slots, vals, inline = arrays or self.arrays_np()
+        h = hashes.splitmix64(q_in)
+        b1, q, b2 = self._split(h, self.lgnb)
+        e1, e2, vmask = self._expected(q, np)
+        lane = np.arange(SLOTS, dtype=np.int64)
+        found = np.zeros(q_in.shape, dtype=bool)
+        val = np.zeros(q_in.shape, dtype=np.uint64)
+        for b, e in ((b1, e1), (b2, e2)):
+            b = b.astype(np.int64)
+            row = slots[b]
+            m = (row & ~vmask) == e[..., None]
+            hit = m.any(-1)
+            if inline:
+                vi = ((row & vmask) * m).sum(-1)
+                v = vals[np.minimum(vi, vals.size - 1).astype(np.int64)]
+            else:
+                pos = ((b[..., None] * SLOTS + lane) * m).sum(-1)
+                v = vals.reshape(-1)[pos]
             val = np.where(hit & ~found, v, val)
             found |= hit
         if self.vals_sorted.dtype != np.uint64:
             val = val.astype(self.vals_sorted.dtype)
         return val, found
 
-    def probe_device(self, queries, rows=None) -> Tuple:
-        """queries: (...,) uint64 jnp array -> (vals u64, found).  Exactly
-        two fused 64B row gathers."""
+    def probe_device(self, queries, arrays=None) -> Tuple:
+        """queries: (...,) uint64 jnp array -> (vals u64, found).  Two 32B
+        row gathers + one small value gather."""
         import jax.numpy as jnp
 
-        t = self.device_rows() if rows is None else rows
-        b1, b2 = self._buckets_of(queries, self.shift, xp=jnp)
+        slots, vals, inline = arrays or self.device_arrays()
+        h = hashes.splitmix64(queries)
+        b1, q, b2 = self._split(h, self.lgnb, xp=jnp)
+        e1, e2, vmask = self._expected(q, jnp)
+        lane = jnp.arange(SLOTS, dtype=jnp.uint32)
         found = jnp.zeros(queries.shape, dtype=bool)
-        val = jnp.zeros(queries.shape, dtype=jnp.uint64)
-        for b in (b1, b2):
-            row = t[b.astype(jnp.int32)]
-            eq = row[..., :SLOTS] == queries[..., None]
-            hit = jnp.any(eq, axis=-1)
-            v = jnp.sum(jnp.where(eq, row[..., SLOTS:], 0), axis=-1)
-            val = jnp.where(hit & ~found, v, val)
+        sel = jnp.zeros(queries.shape, dtype=jnp.uint32)  # val index/slot pos
+        for b, e in ((b1, e1), (b2, e2)):
+            bi = b.astype(jnp.int32)
+            row = slots[bi]
+            m = (row & ~vmask) == e[..., None]
+            hit = jnp.any(m, axis=-1)
+            if inline:
+                s = jnp.sum(
+                    jnp.where(m, (row & vmask).astype(jnp.uint32), 0), -1
+                )
+            else:
+                pos = bi[..., None].astype(jnp.uint32) * SLOTS + lane
+                s = jnp.sum(jnp.where(m, pos, 0), -1)
+            sel = jnp.where(hit & ~found, s, sel)
             found = found | hit
+        flat_vals = vals.reshape(-1)
+        val = flat_vals[sel.astype(jnp.int32)]
+        val = jnp.where(found, val, 0)
         return val, found
 
     # -- dict-style host access (tests / small tools) ---------------------

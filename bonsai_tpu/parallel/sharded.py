@@ -57,21 +57,28 @@ class ShardedClassifier:
         rows = _pad_rows_pow2(nb, self.ndb) * self.ndb
         pad = rows - nb
         compact_vals = tree.compact(table.vals_sorted, missing_ok=True)
-        # fused [keys | packed vals] rows (orig taxid high u32, compact idx
-        # low u32); the pad rows reuse bucket-0's poison keys, which can
-        # never equal a query probing any row (see table.py)
+        # packed payload: orig taxid high u32, compact idx low u32
         packed = (
             table.vals_sorted.astype(np.uint64) << np.uint64(32)
         ) | compact_vals.astype(np.uint32).astype(np.uint64)
-        fused = table.fused_rows(packed)
+        slots, vals, inline = table.arrays_np(packed)
         if pad:
-            padrows = np.zeros((pad, fused.shape[1]), dtype=fused.dtype)
-            padrows[:, : fused.shape[1] // 2] = np.uint64(0xFFFFFFFFFFFFFFFF)
-            fused = np.concatenate([fused, padrows], axis=0)
+            # pad rows are all-zero slot words: can never match (occupied
+            # bit unset, see table.py)
+            z = np.zeros((pad, slots.shape[1]), dtype=slots.dtype)
+            slots = np.concatenate([slots, z], axis=0)
+            if not inline:
+                vals = np.concatenate([vals, z], axis=0)
+        self._inline = inline
 
         shard_db = NamedSharding(mesh, P("db"))
         repl = NamedSharding(mesh, P())
-        self._rows = jax.device_put(jnp.asarray(fused), shard_db)
+        self._slots = jax.device_put(jnp.asarray(slots), shard_db)
+        # unique-values table is tiny -> replicated; flat vals shard with
+        # their slots
+        self._vals = jax.device_put(
+            jnp.asarray(vals), repl if inline else shard_db
+        )
         self._tax = {
             k: jax.device_put(v, repl) for k, v in tree.device_arrays().items()
         }
@@ -85,6 +92,7 @@ class ShardedClassifier:
         from jax.sharding import PartitionSpec as P
 
         from ..core import hashes
+        from ..core import hashes as hsh
         from ..db.table import SLOTS
         from ..classify.resolve import resolve_batch
 
@@ -92,40 +100,48 @@ class ShardedClassifier:
         table = self.db.table
         mesh = self.mesh
         rows_per_shard = self._rows_per_shard
-        shift = table.shift
+        lgnb = table.lgnb
+        inline = self._inline
         tax = self._tax
-        buckets_of = type(table)._buckets_of
+        split = type(table)._split
+        expected = table._expected
 
-        def probe_local(kmers, rows):
+        def probe_local(kmers, slots, vals):
             """Probe the local bucket range; misses for foreign buckets."""
             db_rank = jax.lax.axis_index("db")
             row0 = db_rank.astype(jnp.int64) * rows_per_shard
-            b1, b2 = buckets_of(kmers, shift, xp=jnp)
+            h = hsh.splitmix64(kmers)
+            b1, q, b2 = split(h, lgnb, xp=jnp)
+            e1, e2, vmask = expected(q, jnp)
+            lane = jnp.arange(SLOTS, dtype=jnp.uint32)
             found = jnp.zeros(kmers.shape, dtype=bool)
-            val_c = jnp.zeros(kmers.shape, dtype=jnp.int32)
-            val_o = jnp.zeros(kmers.shape, dtype=jnp.uint32)
-            for b in (b1, b2):
-                local = b - row0
+            sel = jnp.zeros(kmers.shape, dtype=jnp.uint32)
+            for b, e in ((b1, e1), (b2, e2)):
+                local = b.astype(jnp.int64) - row0
                 mine = (local >= 0) & (local < rows_per_shard)
                 li = jnp.clip(local, 0, rows_per_shard - 1).astype(jnp.int32)
-                row = rows[li]
-                eq = (
-                    (row[..., :SLOTS] == kmers[..., None])
-                    & mine[..., None]
-                )
-                hit = jnp.any(eq, axis=-1)
-                packed = jnp.sum(jnp.where(eq, row[..., SLOTS:], 0), axis=-1)
-                vc = (packed & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
-                vo = (packed >> jnp.uint64(32)).astype(jnp.uint32)
-                val_c = jnp.where(hit & ~found, vc, val_c)
-                val_o = jnp.where(hit & ~found, vo, val_o)
+                row = slots[li]
+                m = ((row & ~vmask) == e[..., None]) & mine[..., None]
+                hit = jnp.any(m, axis=-1)
+                if inline:
+                    s = jnp.sum(
+                        jnp.where(m, (row & vmask).astype(jnp.uint32), 0), -1
+                    )
+                else:
+                    pos = li[..., None].astype(jnp.uint32) * SLOTS + lane
+                    s = jnp.sum(jnp.where(m, pos, 0), -1)
+                sel = jnp.where(hit & ~found, s, sel)
                 found = found | hit
-            return val_c, val_o, found
+            packed = vals.reshape(-1)[sel.astype(jnp.int32)]
+            packed = jnp.where(found, packed, 0)
+            vc = (packed & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
+            vo = (packed >> jnp.uint64(32)).astype(jnp.uint32)
+            return vc, vo, found
 
-        def local_step(codes, lengths, rows):
+        def local_step(codes, lengths, slots, vals):
             em = enc.emissions(codes, lengths)
             kmers, valid = em.values, em.mask
-            vc, vo, found = probe_local(kmers, rows)
+            vc, vo, found = probe_local(kmers, slots, vals)
             # merge across db shards: each key on exactly one shard
             vc = jax.lax.psum(vc * found, "db")
             vo = jax.lax.psum(jnp.where(found, vo, 0), "db")
@@ -146,7 +162,10 @@ class ShardedClassifier:
         fn = shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(P("dp"), P("dp"), P("db")),
+            in_specs=(
+                P("dp"), P("dp"), P("db"),
+                P() if self._inline else P("db"),
+            ),
             out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
         )
         return jax.jit(fn)
@@ -159,7 +178,8 @@ class ShardedClassifier:
         return self._fn(
             jnp.asarray(codes),
             jnp.asarray(lengths),
-            self._rows,
+            self._slots,
+            self._vals,
         )
 
 
