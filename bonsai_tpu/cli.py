@@ -119,6 +119,9 @@ def main(argv=None):
     p.add_argument("-F", "--paths-file", default=None)
     p.add_argument("-c", "--cyclic", action="store_true",
                    help="rolling cyclic hash instead of 2-bit kmers")
+    p.add_argument("-P", "--protein", action="store_true",
+                   help="protein k-mers (implies cyclic hashing, "
+                        "setsketcher.cpp:125-128)")
 
     p = sub.add_parser("cmpshs", help="pairwise compare .shs dumps (bin/cmpshs.cpp)")
     p.add_argument("paths", nargs="+")
@@ -422,7 +425,7 @@ def _cmd_kmercnt(args):
 def _cmd_setsketch(args):
     import os
 
-    from .core.alphabet import DNA4
+    from .core.alphabet import AMINO20, DNA4
     from .core import encode as enc_mod, bitops
     from .io import fastx
     from .sketch.setsketch import CSetSketch
@@ -437,18 +440,22 @@ def _cmd_setsketch(args):
         return 1
     k = args.k
     canon = not args.no_canon
+    cyclic = args.cyclic or args.protein or k > 32
+    lut = AMINO20.lut if args.protein else DNA4.lut
     save_kmers = args.save_kmers or args.save_kmer_counts
     union = CSetSketch(args.sketch_size, save_kmers, args.save_kmer_counts)
-    if args.cyclic:
+    if cyclic:
         from .core.rolling import RollingEncoder
 
-        renc = RollingEncoder(k, canon=canon)
+        n_chars = AMINO20.n_classes if args.protein else 4
+        renc = RollingEncoder(k, canon=canon and not args.protein,
+                              n_chars=n_chars)
     for path in paths:
         s = CSetSketch(args.sketch_size, save_kmers, args.save_kmer_counts)
-        for codes in _contig_code_batches(path, DNA4.lut, overlap=k - 1):
+        for codes in _contig_code_batches(path, lut, overlap=k - 1):
             if codes.size < k:
                 continue
-            if args.cyclic:
+            if cyclic:
                 vals, invalid = renc.hashes(codes[None, :])
                 v = np.asarray(vals)[0][~np.asarray(invalid)[0]]
             else:

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Kraken-benchmark accuracy evaluation.
+
+The reference ships HiSeq/MiSeq accuracy sets with expected Kraken-format
+classifications (kraken_benchmarks/{HiSeq,MiSeq}_{accuracy.fa,class.txt},
+SURVEY §4 "Integration / accuracy data").  Given a database built over the
+same reference genomes, this classifies the read sets and scores per-read
+agreement with the expected taxids (exact + genus-level-ancestor match).
+
+Usage:
+  python tools/accuracy_eval.py <db.btpu> <nodes.dmp> [--set HiSeq|MiSeq]
+
+(The genomes behind the published class.txt come from RefSeq — fetch with
+bonsai_tpu/scripts/download_genomes.py where network is available.)
+"""
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+import bonsai_tpu  # noqa: F401,E402
+import numpy as np  # noqa: E402
+
+
+def load_expected(path):
+    """class.txt lines: C/U <read> <taxid> ..."""
+    exp = {}
+    with open(path) as fh:
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            if len(f) >= 3:
+                exp[f[1]] = int(f[2])
+    return exp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("db")
+    ap.add_argument("tax_path")
+    ap.add_argument("--set", dest="which", default="HiSeq",
+                    choices=["HiSeq", "MiSeq"])
+    ap.add_argument("--data-dir",
+                    default=os.path.join(REPO, "tests", "data",
+                                         "kraken_benchmarks"))
+    args = ap.parse_args()
+
+    from bonsai_tpu.classify.pipeline import Classifier
+    from bonsai_tpu.db.formats import load_database, import_bonsai_database
+    from bonsai_tpu.io import fastx
+    from bonsai_tpu.taxonomy.tree import TaxTree
+
+    try:
+        db = load_database(args.db)
+    except ValueError:
+        db = import_bonsai_database(args.db)
+    tree = TaxTree.from_nodes_dmp(args.tax_path)
+    clf = Classifier(db, tree)
+
+    reads_fa = os.path.join(args.data_dir, f"{args.which}_accuracy.fa")
+    class_txt = os.path.join(args.data_dir, f"{args.which}_class.txt")
+    expected = load_expected(class_txt)
+
+    n = exact = anc = both_unclassified = 0
+    ours_unclassified = 0
+    for batch in fastx.batch_reads(reads_fa, clf.lut, batch_size=4096):
+        res = clf.classify_batch(batch)
+        for name, got in zip(batch.names, res.taxon):
+            key = name.decode()
+            want = expected.get(key)
+            if want is None:
+                continue
+            n += 1
+            got = int(got)
+            if got == 0:
+                ours_unclassified += 1
+                if want == 0:
+                    both_unclassified += 1
+                continue
+            if got == want:
+                exact += 1
+            elif want != 0 and (
+                tree.lca(got, want) in (got, want)
+            ):
+                anc += 1  # one is an ancestor of the other
+    print(f"set={args.which} reads={n}")
+    print(f"exact={exact} ({exact/max(n,1):.2%})")
+    print(f"ancestor-compatible={anc} ({anc/max(n,1):.2%})")
+    print(f"unclassified: ours={ours_unclassified} agreeing={both_unclassified}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

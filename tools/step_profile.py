@@ -40,7 +40,7 @@ def main():
     codes, lengths = bench_mod.make_reads(db, B)
     jc = jnp.asarray(codes)
     jl = jnp.asarray(lengths)
-    rows = clf._rows
+    slots, vals, inline = clf._arrays
     enc = clf.enc
     table = db.table
     tax = clf._tax
@@ -51,28 +51,30 @@ def main():
         return jc.at[:, -1].set(s)
 
     @jax.jit
-    def enc_only(jc, jl, rows, salt=0):
+    def enc_only(jc, jl, slots, vals, salt=0):
         em = enc.emissions(salt_codes(jc, salt), jl)
         return em.values, em.mask
 
     @jax.jit
-    def enc_probe(jc, jl, rows, salt=0):
+    def enc_probe(jc, jl, slots, vals, salt=0):
         em = enc.emissions(salt_codes(jc, salt), jl)
-        v, f = table.probe_device(em.values, rows=rows)
+        v, f = table.probe_device(em.values, arrays=(slots, vals, inline))
         return v, f, em.mask
 
     @jax.jit
-    def enc_probe_resolve(jc, jl, rows, salt=0):
+    def enc_probe_resolve(jc, jl, slots, vals, salt=0):
         em = enc.emissions(salt_codes(jc, salt), jl)
-        packed, found = table.probe_device(em.values, rows=rows)
+        packed, found = table.probe_device(
+            em.values, arrays=(slots, vals, inline)
+        )
         cidx = (packed & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
         hit = em.mask & found
         cidx = jnp.where(hit, cidx, 0)
         return resolve_batch(cidx, hit, tax)
 
     @jax.jit
-    def full(jc, jl, rows, salt=0):
-        return clf._step()(salt_codes(jc, salt), jl, rows)
+    def full(jc, jl, slots, vals, salt=0):
+        return clf._step()(salt_codes(jc, salt), jl, slots, vals)
 
     parts = {
         "encode": ("encode only", enc_only),
@@ -84,7 +86,7 @@ def main():
     for key, (name, fn) in parts.items():
         if sel and key != sel:
             continue
-        dt = timed(fn, jc, jl, rows)
+        dt = timed(fn, jc, jl, slots, vals)
         print(f"{name:24s} {dt*1e3:8.2f} ms  ({B/dt/1e3:.0f} kreads/s)",
               flush=True)
 
