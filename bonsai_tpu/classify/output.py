@@ -67,6 +67,50 @@ def format_read(
     return "\t".join(cols) + "\t0:0\n"
 
 
+def _format_batch_native(res, comb_size, is_paired, emit_all):
+    """C formatter (native/src/kraken_out.cpp); returns None if the native
+    library is unavailable."""
+    from .. import native
+
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    n = len(res.names)
+    if n == 0:
+        return ""
+    names_arena = b"".join(res.names)
+    name_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in res.names], out=name_offs[1:])
+    taxa = np.ascontiguousarray(res.taxa, dtype=np.uint32)
+    hm = np.ascontiguousarray(res.hit_mask, dtype=np.uint8)
+    lengths = np.ascontiguousarray(res.lengths, dtype=np.int32)
+    taxon = np.ascontiguousarray(res.taxon, dtype=np.uint32)
+    n_missing = np.ascontiguousarray(res.n_missing, dtype=np.int32)
+    P = taxa.shape[1] if taxa.ndim == 2 else 0
+    cap = len(names_arena) + n * 80 + int(hm.sum()) * 14 + 1024
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        wrote = lib.btpu_format_kraken(
+            n,
+            2 if is_paired else 1,
+            names_arena,
+            name_offs.ctypes.data,
+            lengths.ctypes.data,
+            taxon.ctypes.data,
+            taxa.ctypes.data,
+            hm.ctypes.data,
+            P,
+            n_missing.ctypes.data,
+            comb_size,
+            1 if emit_all else 0,
+            out.ctypes.data,
+            cap,
+        )
+        if wrote >= 0:
+            return out[:wrote].tobytes().decode("utf-8", "replace")
+        cap = -wrote
+
+
 def format_batch(
     res,
     comb_size: int,
@@ -76,6 +120,23 @@ def format_batch(
     emit_fastq: bool = False,
 ) -> str:
     """res: classify.pipeline.BatchResult."""
+    if emit_kraken and not emit_fastq:
+        text = _format_batch_native(res, comb_size, is_paired, emit_all)
+        if text is not None:
+            return text
+    return _format_batch_python(
+        res, comb_size, is_paired, emit_all, emit_kraken, emit_fastq
+    )
+
+
+def _format_batch_python(
+    res,
+    comb_size: int,
+    is_paired: bool = False,
+    emit_all: bool = False,
+    emit_kraken: bool = True,
+    emit_fastq: bool = False,
+) -> str:
     out: List[str] = []
     B = len(res.names)
     stride = 2 if is_paired else 1

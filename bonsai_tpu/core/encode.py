@@ -63,6 +63,48 @@ def pack_spaced_kmers(codes, offsets, it: InputType = InputType.DNA):
     return _pack(codes, list(offsets), it)
 
 
+def _pack_contig_fast(codes, k, bits, xp):
+    """Contiguous pack by logarithmic doubling: O(log k) shift-or steps
+    (mostly in native u32 lanes) instead of k sequential u64 folds — the
+    hot-path formulation for TPU (the scalar rolling loop of
+    encoder.h:241-272 has no carried state here at all)."""
+    L = codes.shape[-1]
+    P = L - k + 1
+    v = xp.where(codes < 0, 0, codes).astype(xp.uint32)
+    bad = codes < 0
+    pieces = {1: (v, bad)}
+    m = 1
+    while m * 2 <= k:
+        a, b = pieces[m]
+        w = bits * m
+        if w * 2 <= 32:
+            a2 = (a[..., : a.shape[-1] - m] << xp.uint32(w)) | a[..., m:]
+        else:
+            a64 = a.astype(xp.uint64)
+            a2 = (a64[..., : a.shape[-1] - m] << xp.uint64(w)) | a64[..., m:]
+        b2 = b[..., : b.shape[-1] - m] | b[..., m:]
+        m *= 2
+        pieces[m] = (a2, b2)
+    acc = None
+    accb = None
+    off = 0
+    rem = k
+    for m in sorted(pieces, reverse=True):
+        if rem < m:
+            continue
+        a, b = pieces[m]
+        seg = a[..., off : off + P].astype(xp.uint64)
+        segb = b[..., off : off + P]
+        if acc is None:
+            acc, accb = seg, segb
+        else:
+            acc = (acc << xp.uint64(bits * m)) | seg
+            accb = accb | segb
+        off += m
+        rem -= m
+    return acc, accb
+
+
 def _pack(codes, offsets, it):
     xp = _xp(codes)
     it = InputType(it)
@@ -73,6 +115,9 @@ def _pack(codes, offsets, it):
     P = L - c + 1
     bits = bits_of(it)
     radix = radix_of(it)
+
+    if bits is not None and all(o == 1 for o in offsets):
+        return _pack_contig_fast(codes, c, bits, xp)
 
     pos = 0
     sl = codes[..., 0:P]
