@@ -87,14 +87,48 @@ def genome_kmer_set(
     """
     enc = BatchEncoder(sp, canonicalize, scheme, input_type, score_map)
     lut = alphabet_of(InputType(input_type)).lut
+    native = _native_kmer_fn(sp, enc, input_type, use_device)
     pieces: List[np.ndarray] = []
     for _, seq, _ in fastx.read_fastx(path):
         if len(seq) < sp.c:
             continue
-        pieces.extend(_contig_sets(enc, seq, lut, sp, block, use_device))
+        if native is not None:
+            # raw (non-deduped) kmers per contig; one unique at the end
+            pieces.append(native(seq, lut, sp.k, enc.canon))
+        else:
+            pieces.extend(_contig_sets(enc, seq, lut, sp, block, use_device))
     if not pieces:
         return np.zeros(0, dtype=np.uint64)
     return np.unique(np.concatenate(pieces))
+
+
+def _native_kmer_fn(sp, enc, input_type, use_device):
+    """One-pass C extraction for the (DNA, contiguous, unwindowed) hot
+    discipline (bit-identical to BatchEncoder; see native/src/kmers.cpp)."""
+    if use_device or not (
+        sp.unspaced() and sp.unwindowed()
+        and InputType(input_type) == InputType.DNA and sp.k <= 32
+    ):
+        return None
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "btpu_canon_kmer_set"):
+        return None
+
+    def run(seq: bytes, lut, k: int, canonical: bool) -> np.ndarray:
+        buf = np.frombuffer(seq, dtype=np.uint8)
+        out = np.empty(len(seq), dtype=np.uint64)
+        lut8 = np.ascontiguousarray(lut, dtype=np.int8)
+        m = lib.btpu_canon_kmer_set(
+            buf.ctypes.data, len(seq), lut8.ctypes.data, k,
+            1 if canonical else 0, out.ctypes.data,
+        )
+        if m < 0:
+            raise ValueError("btpu_canon_kmer_set failed")
+        return out[:m].copy()
+
+    return run
 
 
 def _contig_sets(enc, seq, lut, sp, block, use_device):
@@ -134,29 +168,69 @@ def _contig_sets(enc, seq, lut, sp, block, use_device):
 # -- LCA segment-fold ---------------------------------------------------------
 
 def lca_fold_pairs(keys: np.ndarray, taxa: np.ndarray, tree: TaxTree):
-    """Reduce duplicate keys by LCA-folding their taxa.  Deterministic:
-    keys sorted, taxa folded in ascending-key stable order.  Returns sorted
-    unique (keys, taxa)."""
+    """Reduce duplicate keys by LCA-folding their taxa.  Single pass:
+    sort by key, then per-run set-LCA via the Euler-interval fact
+    LCA(S) = LCA(argmin tin, argmax tin) with np.minimum/maximum.reduceat —
+    no iterative pairwise rounds.  Semantics match the reference's iterated
+    pairwise lca (util.h:634-663): 0 is the identity, a taxid absent from
+    the tree poisons the fold to TAX_MISSING (unless every non-zero element
+    is that same missing taxid), and a disjoint-root pair resolves to 1.
+    LCA is associative/commutative so the result is order-independent and
+    deterministic.  Returns sorted unique (keys, taxa)."""
     if keys.size == 0:
         return keys.astype(np.uint64), taxa.astype(np.uint32)
     order = np.argsort(keys, kind="stable")
     keys = keys[order]
-    taxa = taxa[order]
-    while True:
-        dup = np.zeros(len(keys), dtype=bool)
-        dup[1:] = keys[1:] == keys[:-1]
-        if not dup.any():
-            break
-        run_start = np.searchsorted(keys, keys, side="left")
-        off = np.arange(len(keys)) - run_start
-        merge_left = (off % 2 == 0) & np.concatenate([dup[1:], [False]])
-        li = np.nonzero(merge_left)[0]
-        taxa = taxa.copy()
-        taxa[li] = tree.lca_pairs(taxa[li], taxa[li + 1])
-        keep = np.ones(len(keys), dtype=bool)
-        keep[li + 1] = False
-        keys, taxa = keys[keep], taxa[keep]
-    return keys, taxa
+    t = taxa[order].astype(np.uint32)
+    first = np.empty(len(keys), dtype=bool)
+    first[0] = True
+    first[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(first)
+    uk = keys[starts]
+    if starts.size == len(keys):  # all keys unique
+        return uk, t
+    # taxa domains are tiny (one value per genome): compact the unique
+    # values, not all ~N elements (searchsorted into the tiny set is much
+    # cheaper than np.unique's return_inverse machinery)
+    ut = np.unique(t)
+    inv = np.searchsorted(ut, t)
+    cu = tree.compact(ut, missing_ok=True)
+    c = cu[inv]
+    n = tree.tin.shape[0]
+    BIG = np.int32(2 * n + 4)
+    node_of_tin = np.zeros(int(tree.tin.max()) + 2, dtype=np.int32)
+    node_of_tin[tree.tin[1:]] = np.arange(1, n, dtype=np.int32)
+    tin_u = np.where(cu != 0, tree.tin[cu], BIG)  # absent/0 -> +inf for min
+    tins = tin_u[inv]
+    tmin = np.minimum.reduceat(tins, starts)
+    tmax = np.maximum.reduceat(np.where(tins == BIG, np.int32(-2), tins), starts)
+    has_pres = tmax >= 0
+    a = node_of_tin[np.where(has_pres, tmin, 0)]
+    b = node_of_tin[np.where(has_pres, tmax, 0)]
+    r = tree._lca_compact(a, b)
+    out = tree.original(r).astype(np.uint32)
+    out = np.where(has_pres & (r == 0), np.uint32(1), out)  # disjoint roots
+    clean = bool(((cu != 0) | (ut == 0)).all())
+    if not clean or bool((ut == 0).any()):
+        # slow path: zeros and/or missing taxids present somewhere
+        nz = t != 0
+        pres = c != 0
+        miss = nz & ~pres
+        n_pres = np.add.reduceat(pres.astype(np.int64), starts)
+        n_miss = np.add.reduceat(miss.astype(np.int64), starts)
+        n_nz = np.add.reduceat(nz.astype(np.int64), starts)
+        # missing-taxid poisoning: all-equal-missing keeps the value
+        mmin = np.minimum.reduceat(
+            np.where(miss, t, np.uint32(0xFFFFFFFF)), starts
+        )
+        mmax = np.maximum.reduceat(np.where(miss, t, np.uint32(0)), starts)
+        all_same_missing = (n_pres == 0) & (n_miss > 0) & (mmin == mmax)
+        out = np.where(
+            (n_miss > 0) & ~all_same_missing, np.uint32(0xFFFFFFFF), out
+        )
+        out = np.where(all_same_missing, mmin, out)
+        out = np.where(n_nz == 0, np.uint32(0), out)
+    return uk, out.astype(np.uint32)
 
 
 # -- map builders (make_map equivalents, feature_min.h:93-203) ----------------

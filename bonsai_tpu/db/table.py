@@ -123,11 +123,18 @@ class KmerTable:
             nonlocal counts
             if idx.size == 0:
                 return idx
-            srt = np.argsort(b[idx], kind="stable")
-            si = idx[srt]
-            sb = b[si]
-            run_start = np.searchsorted(sb, sb, side="left")
-            rank = np.arange(sb.size) - run_start
+            # radix sort of packed (bucket, idx) beats argsort+searchsorted;
+            # low-32 idx keeps stable tie order
+            pack = np.sort((b[idx].astype(np.uint64) << np.uint64(32))
+                           | idx.astype(np.uint64))
+            si = (pack & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            sb = (pack >> np.uint64(32)).astype(np.int64)
+            pos = np.arange(sb.size, dtype=np.int64)
+            first = np.empty(sb.size, dtype=bool)
+            first[0] = True
+            first[1:] = sb[1:] != sb[:-1]
+            run_start = np.maximum.accumulate(np.where(first, pos, 0))
+            rank = pos - run_start
             free = SLOTS - counts[sb]
             win = rank < free
             wi = si[win]

@@ -116,6 +116,16 @@ def _declare(lib):
     ]
 
 
+    lib.btpu_canon_kmer_set.restype = c.c_int64
+    lib.btpu_canon_kmer_set.argtypes = [
+        c.c_void_p,  # seq bytes
+        c.c_int64,   # n
+        c.c_void_p,  # lut (256 x int8)
+        c.c_int32,   # k
+        c.c_int32,   # canonical
+        c.c_void_p,  # out (u64 x n)
+    ]
+
     lib.btpu_format_kraken.restype = c.c_int64
     lib.btpu_format_kraken.argtypes = [
         c.c_int64,   # n

@@ -195,8 +195,12 @@ class TaxTree:
         r = self._lca_compact(ca, cb)
         out = self.original(r)
         out = np.where((r == 0) & (ca != 0) & (cb != 0), 1, out)  # disjoint
-        out = np.where(cb == 0, np.where(b == 0, a, TAX_MISSING), out)
-        out = np.where(ca == 0, np.where(a == 0, np.where(b == 0, 0, b), TAX_MISSING), out)
+        # precedence mirrors the scalar reference (util.h:634-663): the
+        # 0-identity checks happen BEFORE the missing-taxid lookup failure
+        out = np.where(((ca == 0) & (a != 0)) | ((cb == 0) & (b != 0)),
+                       TAX_MISSING, out)
+        out = np.where(a == 0, b, out)
+        out = np.where(b == 0, a, out)
         out = np.where(a == b, a, out)
         return out.astype(np.uint32)
 

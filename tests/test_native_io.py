@@ -154,3 +154,44 @@ def test_paired_interleave(tmp_path):
     for i in range(0, 50, 2):
         assert names[i].startswith(b"fwd") and names[i + 1].startswith(b"rev")
         assert names[i].split(b"_")[1] == names[i + 1].split(b"_")[1]
+
+
+def test_native_canon_kmer_set_parity():
+    """btpu_canon_kmer_set == BatchEncoder emissions for the contiguous
+    unwindowed discipline, canonical and not, with Ns sprinkled in."""
+    from bonsai_tpu.native import get_lib
+    from bonsai_tpu.core.encoder import BatchEncoder
+    from bonsai_tpu.core.spacer import Spacer
+    from bonsai_tpu.io.fastx import encode_contig
+
+    lib = get_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    bases = np.array(list(b"ACGTN"), dtype=np.uint8)
+    for trial in range(12):
+        L = int(rng.integers(40, 4000))
+        probs = [0.24, 0.24, 0.24, 0.24, 0.04]
+        seq = bases[rng.choice(5, size=L, p=probs)].tobytes()
+        for k in (4, 21, 31, 32):
+            if L < k:
+                continue
+            for canon in (True, False):
+                sp = Spacer(k, k)
+                enc = BatchEncoder(sp, canon, "lex")
+                codes = encode_contig(seq, DNA4.lut)[None, :]
+                lengths = np.array([L], dtype=np.int32)
+                em = enc.emissions(codes, lengths)
+                expect = np.unique(np.asarray(em.values)[np.asarray(em.mask)])
+                out = np.empty(L, dtype=np.uint64)
+                lut8 = np.ascontiguousarray(DNA4.lut, dtype=np.int8)
+                buf = np.frombuffer(seq, dtype=np.uint8)
+                m = lib.btpu_canon_kmer_set(
+                    buf.ctypes.data, L, lut8.ctypes.data, k,
+                    1 if canon else 0, out.ctypes.data,
+                )
+                assert m >= 0
+                got = np.unique(out[:m])
+                assert np.array_equal(got, expect), (trial, k, canon)
