@@ -112,13 +112,18 @@ def main():
         jc = jc.at[:, -1].set((salt[: jc.shape[0]] % 4).astype(jc.dtype))
         return step(jc, jl, slots, vals)
 
-    salt = jnp.zeros(batch, dtype=jnp.int32)
+    salt = jnp.zeros(batch, dtype=jnp.uint32)
     out = chained(jc, jl, slots, vals, salt)
-    np.asarray(out[0][:1])  # sync
+    np.asarray(out.ravel()[:1])  # sync
+    # the runtime needs ~20 executions of a fresh executable before hitting
+    # steady state; warm up unmeasured (still chained / content-fresh)
+    for _ in range(25):
+        out = chained(jc, jl, slots, vals, out[:, 0])
+    np.asarray(out.ravel()[:1])
     t0 = time.time()
     for _ in range(steps):
-        out = chained(jc, jl, slots, vals, out[3])
-    np.asarray(out[0][:1])  # sync
+        out = chained(jc, jl, slots, vals, out[:, 0])  # taxon column
+    np.asarray(out.ravel()[:1])  # sync
     dt = time.time() - t0
     reads_per_s = batch * steps / dt
     print(

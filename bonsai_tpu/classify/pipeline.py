@@ -87,6 +87,10 @@ class Classifier:
 
     # -- jitted device step ----------------------------------------------
     def _make_step(self):
+        """One packed (B, 3 + ceil(P/32) + P) uint32 output per batch —
+        taxon | n_missing | n_kmers | hit-bitmask words | per-kmer taxa —
+        so the host needs a single device fetch (the reference's analog is
+        one contiguous sam buffer per read, classifier.h:221)."""
         import jax
         import jax.numpy as jnp
 
@@ -109,15 +113,28 @@ class Classifier:
             miss = valid & ~found
             cidx = jnp.where(hit, cidx, 0)
             taxon_c = resolve_batch(cidx, hit, tax)
-            taxon = tax["tax_ids"][taxon_c]
+            taxon = tax["tax_ids"][taxon_c].astype(jnp.uint32)
             taxa = jnp.where(hit, oidx, 0).astype(jnp.uint32)
-            return (
-                taxon,
-                taxa,
-                hit,
-                miss.sum(axis=-1).astype(jnp.int32),
-                valid.sum(axis=-1).astype(jnp.int32),
+            B, P = taxa.shape
+            hb = (P + 31) // 32
+            if hb:
+                pad = jnp.zeros((B, hb * 32 - P), dtype=bool)
+                bits = jnp.concatenate([hit, pad], axis=1).reshape(B, hb, 32)
+                weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+                hit_words = jnp.sum(
+                    bits.astype(jnp.uint32) * weights, axis=-1, dtype=jnp.uint32
+                )
+            else:
+                hit_words = jnp.zeros((B, 0), dtype=jnp.uint32)
+            head = jnp.stack(
+                [
+                    taxon,
+                    miss.sum(axis=-1).astype(jnp.uint32),
+                    valid.sum(axis=-1).astype(jnp.uint32),
+                ],
+                axis=1,
             )
+            return jnp.concatenate([head, hit_words, taxa], axis=1)
 
         return step
 
@@ -127,17 +144,60 @@ class Classifier:
         return self._step_cache["fn"]
 
     # -- per-batch --------------------------------------------------------
+    @staticmethod
+    def _bucket_batch(n: int) -> int:
+        """Round the read count up to a small bucket set so partial final
+        batches reuse the compiled step instead of recompiling."""
+        b = 256
+        while b < n:
+            b <<= 1
+        return b
+
     def classify_batch(self, batch: fastx.ReadBatch) -> BatchResult:
+        return self._finish_batch(batch, self._dispatch_batch(batch))
+
+    def _dispatch_batch(self, batch: fastx.ReadBatch):
+        """Async half of classify_batch: returns the on-device result
+        (dispatch only; materialize with _finish_batch).  Used for batch
+        pipelining in process_dataset."""
         import jax.numpy as jnp
 
         step = self._step()
-        taxon, taxa, hit, n_missing, n_kmers = step(
-            jnp.asarray(batch.codes),
-            jnp.asarray(batch.lengths),
+        n = len(batch.names)
+        Bp = self._bucket_batch(n)
+        codes, lengths = batch.codes, batch.lengths
+        if Bp != n:
+            codes = np.full((Bp, codes.shape[1]), -1, dtype=np.int8)
+            codes[:n] = batch.codes
+            lengths = np.zeros(Bp, dtype=np.int32)
+            lengths[:n] = batch.lengths
+        return step(
+            jnp.asarray(codes),
+            jnp.asarray(lengths),
             self._arrays[0],
             self._arrays[1],
         )
-        taxon = np.asarray(taxon)
+
+    def _finish_batch(self, batch: fastx.ReadBatch, out) -> BatchResult:
+        n = len(batch.names)
+        # fetch the whole padded matrix in one transfer; trim on host (a
+        # device-side out[:n] would compile a fresh slice op per batch size)
+        out = np.asarray(out)[:n]
+        P = batch.codes.shape[1] - self.sp.c + 1
+        P = max(P, 0)
+        hb = (P + 31) // 32
+        taxon = out[:, 0]
+        n_missing = out[:, 1].astype(np.int32)
+        n_kmers = out[:, 2].astype(np.int32)
+        hit_words = out[:, 3 : 3 + hb]
+        taxa = out[:, 3 + hb :]
+        if P:
+            shifts = np.arange(32, dtype=np.uint32)
+            hit = (
+                (hit_words[:, :, None] >> shifts) & np.uint32(1)
+            ).astype(bool).reshape(n, hb * 32)[:, :P]
+        else:
+            hit = np.zeros((n, 0), dtype=bool)
         self.n_classified += int((taxon != 0).sum())
         self.n_unclassified += int((taxon == 0).sum())
         return BatchResult(
@@ -146,10 +206,10 @@ class Classifier:
             quals=batch.quals,
             lengths=batch.lengths,
             taxon=taxon,
-            taxa=np.asarray(taxa),
-            hit_mask=np.asarray(hit),
-            n_missing=np.asarray(n_missing),
-            n_kmers=np.asarray(n_kmers),
+            taxa=taxa,
+            hit_mask=hit,
+            n_missing=n_missing,
+            n_kmers=n_kmers,
         )
 
     # -- full dataset ------------------------------------------------------
@@ -161,21 +221,35 @@ class Classifier:
         batch_size: int = 4096,
     ):
         """Classify a FASTA/FASTQ file (optionally paired) and write text
-        output (process_dataset, classifier.h:296-337)."""
+        output (process_dataset, classifier.h:296-337).
+
+        One-batch-deep pipeline: batch i+1 is parsed and dispatched to the
+        device before batch i's results are materialized and formatted, so
+        host parse/format overlaps device compute (the reference overlaps
+        via its thread pool; JAX's async dispatch gives the same shape)."""
         is_paired = mate_path is not None
+        pending = None  # (batch, device_out)
         for batch in fastx.batch_reads(
             path, self.lut, batch_size=batch_size, mate_path=mate_path
         ):
-            res = self.classify_batch(batch)
-            text = out_mod.format_batch(
-                res,
-                self.sp.c,
-                is_paired=is_paired,
-                emit_all=self.emit_all,
-                emit_kraken=self.emit_kraken,
-                emit_fastq=self.emit_fastq,
-            )
-            out_fh.write(text)
+            out = self._dispatch_batch(batch)
+            if pending is not None:
+                self._write_result(out_fh, *pending, is_paired)
+            pending = (batch, out)
+        if pending is not None:
+            self._write_result(out_fh, *pending, is_paired)
+
+    def _write_result(self, out_fh, batch, out, is_paired):
+        res = self._finish_batch(batch, out)
+        text = out_mod.format_batch(
+            res,
+            self.sp.c,
+            is_paired=is_paired,
+            emit_all=self.emit_all,
+            emit_kraken=self.emit_kraken,
+            emit_fastq=self.emit_fastq,
+        )
+        out_fh.write(text)
 
     def classify_reads(self, seqs: List[bytes]) -> np.ndarray:
         """Convenience: classify raw sequences -> original taxids."""
