@@ -102,6 +102,8 @@ def main(argv=None):
     p.add_argument("-C", "--canon", action="store_true")
     p.add_argument("--shs-only", action="store_true")
     p.add_argument("--bin-only", action="store_true")
+    p.add_argument("--nthash", action="store_true",
+                   help="ntHash NTC64 backend (reference kmercnt -htype 2)")
 
     p = sub.add_parser(
         "setsketch", aliases=["setsketcher"],
@@ -417,7 +419,8 @@ def _cmd_kmercnt(args):
         flag |= shs_mod.WRITE_KVMAP
     for path in args.paths:
         prefix = args.out_prefix or path
-        written = shs_mod.dump_maps(prefix, ks, path, canon=args.canon, flag=flag)
+        written = shs_mod.dump_maps(prefix, ks, path, canon=args.canon,
+                                    flag=flag, nthash=args.nthash)
         print("\n".join(written), file=sys.stderr)
     return 0
 

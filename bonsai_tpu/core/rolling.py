@@ -53,6 +53,22 @@ def character_table(seed1: int, seed2: int, n_chars: int = 4) -> np.ndarray:
     return _wyrand_stream((seed1 ^ seed2) & U64_MAX, n_chars)
 
 
+# ntHash v1 per-base seed values (Mohamadi et al. 2016, published in the
+# ntHash repository; the reference's ntHash/ submodule is empty in this
+# checkout — encoder.h:382,391 calls NTC64 — so these come from the paper's
+# public code).  ntHash's rc stream hashes the complement bases with the
+# SAME table, unlike the two-table RollingHasher.
+NTHASH_SEEDS = np.array(
+    [
+        0x3C8BFBB395C60474,  # A
+        0x3193C18562A02B4C,  # C
+        0x20323ED082572324,  # G
+        0x295549F54BE24456,  # T
+    ],
+    dtype=np.uint64,
+)
+
+
 def _rotl(x: np.ndarray, r: int):
     r %= 64
     if r == 0:
@@ -128,14 +144,23 @@ class RollingEncoder:
     (1337*137, 1337^137) reverse (encoder.h:672-684)."""
 
     def __init__(self, k: int, canon: bool = False, window: int = -1,
-                 seed1: int = 1337, seed2: int = 137, n_chars: int = 4):
+                 seed1: int = 1337, seed2: int = 137, n_chars: int = 4,
+                 nthash: bool = False):
         self.k = k
         self.canon = canon
         self.w = window if window and window > k else -1
-        self.table_f = character_table(seed1, seed2, n_chars)
-        self.table_r = character_table(
-            (seed1 * seed2) & U64_MAX, seed1 ^ seed2, n_chars
-        )
+        if nthash:
+            # ntHash NTC64 (encoder.h for_each_hash backend): fixed published
+            # seeds; the rc stream uses the same table over complement bases
+            if n_chars != 4:
+                raise ValueError("nthash mode is DNA-only")
+            self.table_f = NTHASH_SEEDS
+            self.table_r = NTHASH_SEEDS
+        else:
+            self.table_f = character_table(seed1, seed2, n_chars)
+            self.table_r = character_table(
+                (seed1 * seed2) & U64_MAX, seed1 ^ seed2, n_chars
+            )
 
     def hashes(self, codes):
         """(values (..., P), invalid) — canonical if self.canon."""
@@ -176,7 +201,7 @@ class MultiKRollingEncoder:
     pairs, reproduced exactly."""
 
     def __init__(self, ks: Sequence[int], canon: bool = False,
-                 seedseed: int = 1337, n_chars: int = 4):
+                 seedseed: int = 1337, n_chars: int = 4, nthash: bool = False):
         self.ks = list(ks)
         mt = _MT19937_64(seedseed)
         self.encoders: List[RollingEncoder] = []
@@ -184,7 +209,7 @@ class MultiKRollingEncoder:
             s1 = mt.next()
             s2 = mt.next()
             self.encoders.append(
-                RollingEncoder(k, canon, -1, s1, s2, n_chars)
+                RollingEncoder(k, canon, -1, s1, s2, n_chars, nthash=nthash)
             )
 
     def hashes(self, codes, lengths):

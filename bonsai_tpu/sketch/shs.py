@@ -61,11 +61,12 @@ class MultiKCounter:
     """One-pass multi-k counter over files (RollingHasherSet analog)."""
 
     def __init__(self, ks: Sequence[int], canon: bool = False,
-                 seedseed: int = 1337, lut=None):
+                 seedseed: int = 1337, lut=None, nthash: bool = False):
         from ..core.alphabet import DNA4
 
         self.ks = list(ks)
-        self.enc = MultiKRollingEncoder(self.ks, canon=canon, seedseed=seedseed)
+        self.enc = MultiKRollingEncoder(self.ks, canon=canon,
+                                        seedseed=seedseed, nthash=nthash)
         self.lut = DNA4.lut if lut is None else lut
         self._hash_chunks: List[List[np.ndarray]] = [[] for _ in self.ks]
 
@@ -133,11 +134,12 @@ WRITE_KVMAP = 2
 
 
 def dump_maps(prefix: str, ks: Sequence[int], path: str, canon: bool = False,
-              flag: int = WRITE_SHS | WRITE_KVMAP, lut=None) -> List[str]:
+              flag: int = WRITE_SHS | WRITE_KVMAP, lut=None,
+              nthash: bool = False) -> List[str]:
     """Count k-mers of `path` for each k and dump  <prefix>.<k>.shs /
-    <prefix>.<k>.bin  (dump_maps, kmer_counter.h:94-133).  Returns the
-    written file names."""
-    ctr = MultiKCounter(ks, canon=canon, lut=lut)
+    <prefix>.<k>.bin  (dump_maps, kmer_counter.h:94-133; nthash selects the
+    reference's -htype 2 NTC64 backend).  Returns the written file names."""
+    ctr = MultiKCounter(ks, canon=canon, lut=lut, nthash=nthash)
     ctr.add_file(path)
     written = []
     for k, (keys, counts) in zip(ks, ctr.counts()):

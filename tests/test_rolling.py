@@ -113,3 +113,36 @@ def test_windowed_rolling_minimizers():
     enc = RollingEncoder(15, canon=False, window=45)
     vals, mask = enc.emissions(codes, np.array([200], dtype=np.int32))
     assert int(mask.sum()) == 200 - 45 + 1
+
+
+def test_nthash_mode():
+    """ntHash backend: fixed published seeds, canonical strand symmetry."""
+    from bonsai_tpu.core.rolling import RollingEncoder, NTHASH_SEEDS, buzhash
+
+    rng = np.random.default_rng(11)
+    L, k = 300, 21
+    codes = rng.integers(0, 4, size=L).astype(np.int8)
+    rc = (3 - codes)[::-1].copy()
+    enc = RollingEncoder(k, canon=True, nthash=True)
+    hf, inv = enc.hashes(codes[None, :])
+    hr, _ = enc.hashes(rc[None, :])
+    # canonical hash multiset is strand-invariant
+    assert sorted(hf[0].tolist()) == sorted(hr[0].tolist())
+    # deterministic: table is the published constant set
+    assert enc.table_f is NTHASH_SEEDS and enc.table_r is NTHASH_SEEDS
+    # uncanonical fwd hash of the first window equals the closed-form fold
+    enc2 = RollingEncoder(k, canon=False, nthash=True)
+    h2, _ = enc2.hashes(codes[None, :])
+    acc = np.uint64(0)
+    for j in range(k):
+        r = (k - 1 - j) % 64
+        t = NTHASH_SEEDS[codes[j]]
+        acc ^= np.uint64((int(t) << r | int(t) >> (64 - r)) & (2**64 - 1)) if r else t
+    assert h2[0, 0] == acc
+
+    # multi-k ladder accepts the flag
+    from bonsai_tpu.core.rolling import MultiKRollingEncoder
+
+    mk = MultiKRollingEncoder([15, 21], canon=True, nthash=True)
+    outs = mk.hashes(codes[None, :], np.array([L], dtype=np.int32))
+    assert len(outs) == 2 and outs[0][0].shape[-1] == L - 15 + 1
