@@ -28,6 +28,13 @@ def _add_classify(sub):
     p.add_argument("-K", "--no-kraken", dest="kraken", action="store_false")
     p.add_argument("-f", "--fastq", action="store_true")
     p.add_argument("-C", "--no-canon", action="store_true")
+    p.add_argument("--db-shards", type=int, default=0,
+                   help="shard the table over a 'db' mesh axis across "
+                        "devices (0 = single-device pipeline)")
+    p.add_argument("--distributed", action="store_true",
+                   help="join the multi-host runtime first "
+                        "(JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                        "JAX_PROCESS_ID or TPU-pod autodetection)")
     return p
 
 
@@ -280,6 +287,33 @@ def _cmd_classify(args):
     except ValueError:
         db = import_bonsai_database(args.db)
     tree = TaxTree.from_nodes_dmp(args.tax_path)
+    if args.distributed:
+        from .parallel.mesh import init_distributed
+
+        init_distributed()
+    if args.db_shards:
+        from .parallel.mesh import default_mesh
+        from .parallel.sharded import ShardedClassifier
+
+        mesh = default_mesh(db_shards=args.db_shards)
+        clf = ShardedClassifier(db, tree, mesh,
+                                canonicalize=not args.no_canon)
+        out = open(args.out, "w") if args.out else sys.stdout
+        try:
+            clf.process_dataset(args.reads, out, mate_path=args.mate,
+                                batch_size=args.chunk_size,
+                                emit_all=args.emit_all,
+                                emit_kraken=args.kraken,
+                                emit_fastq=args.fastq)
+        finally:
+            if args.out:
+                out.close()
+        print(
+            f"classified: {clf.n_classified}  "
+            f"unclassified: {clf.n_unclassified}",
+            file=sys.stderr,
+        )
+        return 0
     clf = Classifier(
         db,
         tree,

@@ -23,6 +23,41 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 
 
+def init_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Join the multi-host runtime (the reference has no cross-node story;
+    this is the TPU-pod growth path, SURVEY §2.10 'distributed backend').
+
+    On Cloud TPU pods all three arguments are auto-detected from the
+    metadata server, so ``init_distributed()`` alone suffices; elsewhere
+    pass coordinator \"host:port\", the process count, and this process's
+    id (or set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+    Returns this process's id.  Safe to call twice (second call no-ops).
+    """
+    import os
+
+    import jax
+
+    if getattr(init_distributed, "_done", False):
+        return jax.process_index()
+    kw = {}
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator:
+        kw["coordinator_address"] = coordinator
+    num_processes = num_processes or os.environ.get("JAX_NUM_PROCESSES")
+    if num_processes is not None:
+        kw["num_processes"] = int(num_processes)
+    process_id = process_id if process_id is not None else os.environ.get("JAX_PROCESS_ID")
+    if process_id is not None:
+        kw["process_id"] = int(process_id)
+    jax.distributed.initialize(**kw)
+    init_distributed._done = True
+    return jax.process_index()
+
+
 def make_mesh(axis_sizes: Dict[str, int], devices: Optional[Sequence] = None):
     import jax
     from jax.sharding import Mesh

@@ -84,6 +84,8 @@ class ShardedClassifier:
         }
         self._rows_per_shard = rows // self.ndb
         self._fn = None
+        self.n_classified = 0
+        self.n_unclassified = 0
 
     def _build_fn(self):
         import jax
@@ -181,6 +183,57 @@ class ShardedClassifier:
             self._slots,
             self._vals,
         )
+
+    # -- host-facing surface (mirrors classify.pipeline.Classifier) -------
+    def classify_batch(self, batch):
+        """ReadBatch -> BatchResult, padding B up to a multiple of the
+        'dp' axis (and a pow2 bucket, to keep the compiled-shape set
+        small)."""
+        from ..classify.pipeline import BatchResult, Classifier
+
+        n = len(batch.names)
+        Bp = Classifier._bucket_batch(n)
+        if Bp % self.ndp:
+            Bp = ((Bp + self.ndp - 1) // self.ndp) * self.ndp
+        codes, lengths = batch.codes, batch.lengths
+        if Bp != n:
+            codes = np.full((Bp, codes.shape[1]), -1, dtype=np.int8)
+            codes[:n] = batch.codes
+            lengths = np.zeros(Bp, dtype=np.int32)
+            lengths[:n] = batch.lengths
+        taxon, taxa, hit, n_missing, n_kmers = map(
+            np.asarray, self.step(codes, lengths)
+        )
+        self.n_classified += int((taxon[:n] != 0).sum())
+        self.n_unclassified += int((taxon[:n] == 0).sum())
+        return BatchResult(
+            names=batch.names, seqs=batch.seqs, quals=batch.quals,
+            lengths=batch.lengths, taxon=taxon[:n], taxa=taxa[:n],
+            hit_mask=hit[:n], n_missing=n_missing[:n].astype(np.int32),
+            n_kmers=n_kmers[:n].astype(np.int32),
+        )
+
+    def process_dataset(self, path, out_fh, mate_path=None,
+                        batch_size: int = 4096, emit_all: bool = False,
+                        emit_kraken: bool = True, emit_fastq: bool = False):
+        """Classify a dataset over the mesh and write text output (the
+        multi-device analog of Classifier.process_dataset)."""
+        from ..classify import output as out_mod
+        from ..core.alphabet import alphabet_of
+        from ..io import fastx
+
+        lut = alphabet_of(self.enc.it).lut
+        is_paired = mate_path is not None
+        for batch in fastx.batch_reads(
+            path, lut, batch_size=batch_size, mate_path=mate_path
+        ):
+            res = self.classify_batch(batch)
+            out_fh.write(
+                out_mod.format_batch(
+                    res, self.sp.c, is_paired=is_paired, emit_all=emit_all,
+                    emit_kraken=emit_kraken, emit_fastq=emit_fastq,
+                )
+            )
 
 
 def sharded_encode_contig(codes, k: int, mesh, canonical: bool = True):

@@ -94,3 +94,47 @@ def test_sequence_parallel_encode():
     np.testing.assert_array_equal(kms[0, :P][~ref_inv[0]], ref_can[0][~ref_inv[0]])
     # tail positions (no full kmer) must be invalid
     assert not valid[0, P:].any()
+
+
+def test_sharded_classify_batch_and_dataset(tmp_path, ec_db_tree=None):
+    """ShardedClassifier's host surface (classify_batch/process_dataset)
+    matches the single-device Classifier output byte for byte."""
+    import io
+    import numpy as np
+    from bonsai_tpu.classify.pipeline import Classifier
+    from bonsai_tpu.parallel.mesh import default_mesh
+    from bonsai_tpu.parallel.sharded import ShardedClassifier
+    from bonsai_tpu.db.formats import Database
+    from bonsai_tpu.db.table import KmerTable
+    from bonsai_tpu.taxonomy.tree import TaxTree
+    from bonsai_tpu.core import encode as enc_mod, bitops
+
+    rng = np.random.default_rng(3)
+    k = 21
+    tree = TaxTree({1: 0, 2: 1, 11: 2, 12: 2})
+    bases = np.array(list(b"ACGT"), dtype=np.uint8)
+    reads = [bases[rng.integers(0, 4, 90)].tobytes() for _ in range(37)]
+    fq = tmp_path / "r.fa"
+    with open(fq, "w") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f">q{i}\n{r.decode()}\n")
+    # DB from the reads themselves so there are hits
+    from bonsai_tpu.core.alphabet import DNA4
+
+    codes = np.stack([DNA4.lut[np.frombuffer(r, np.uint8)] for r in reads])
+    km, inv = enc_mod.pack_kmers(codes.astype(np.int8), k)
+    pool = np.unique(bitops.canonical(km[~inv], k))
+    keys = pool[rng.random(len(pool)) < 0.6]
+    taxa = rng.choice([2, 11, 12], size=len(keys)).astype(np.uint32)
+    db = Database(table=KmerTable(np.unique(keys), taxa[: len(np.unique(keys))]),
+                  k=k, w=k, gaps=[0] * (k - 1))
+
+    single = Classifier(db, tree, emit_all=True)
+    mesh = default_mesh(db_shards=2)
+    sharded = ShardedClassifier(db, tree, mesh)
+
+    out1, out2 = io.StringIO(), io.StringIO()
+    single.process_dataset(str(fq), out1)
+    sharded.process_dataset(str(fq), out2, emit_all=True)
+    assert out1.getvalue() == out2.getvalue()
+    assert sharded.n_classified == single.n_classified
