@@ -219,6 +219,7 @@ class Classifier:
         out_fh,
         mate_path: Optional[str] = None,
         batch_size: int = 4096,
+        profile: bool = False,
     ):
         """Classify a FASTA/FASTQ file (optionally paired) and write text
         output (process_dataset, classifier.h:296-337).
@@ -226,21 +227,63 @@ class Classifier:
         One-batch-deep pipeline: batch i+1 is parsed and dispatched to the
         device before batch i's results are materialized and formatted, so
         host parse/format overlaps device compute (the reference overlaps
-        via its thread pool; JAX's async dispatch gives the same shape)."""
+        via its thread pool; JAX's async dispatch gives the same shape).
+
+        With profile=True, per-stage wall times (parse / dispatch /
+        materialize / format) accumulate in self.stage_seconds and print to
+        stderr at the end (TIME_CODE-style observability, SURVEY §5)."""
+        import time as _time
+
         is_paired = mate_path is not None
-        pending = None  # (batch, device_out)
-        for batch in fastx.batch_reads(
+        self.stage_seconds = {
+            "parse": 0.0, "dispatch": 0.0, "materialize": 0.0, "format": 0.0,
+        }
+        stats = self.stage_seconds
+        t = _time.perf_counter
+        it = iter(fastx.batch_reads(
             path, self.lut, batch_size=batch_size, mate_path=mate_path
-        ):
+        ))
+        n_reads = 0
+        t_all = t()
+        pending = None  # (batch, device_out)
+        while True:
+            t0 = t()
+            batch = next(it, None)
+            stats["parse"] += t() - t0
+            if batch is None:
+                break
+            n_reads += len(batch.names)
+            t0 = t()
             out = self._dispatch_batch(batch)
+            stats["dispatch"] += t() - t0
             if pending is not None:
                 self._write_result(out_fh, *pending, is_paired)
             pending = (batch, out)
         if pending is not None:
             self._write_result(out_fh, *pending, is_paired)
+        if profile:
+            total = t() - t_all
+            import sys as _sys
+
+            parts = "  ".join(
+                f"{k}={v:.3f}s" for k, v in stats.items()
+            )
+            print(
+                f"# profile: {n_reads} reads in {total:.3f}s "
+                f"({n_reads / max(total, 1e-9):,.0f} reads/s)  {parts}",
+                file=_sys.stderr,
+            )
 
     def _write_result(self, out_fh, batch, out, is_paired):
+        import time as _time
+
+        stats = getattr(self, "stage_seconds", None)
+        t = _time.perf_counter
+        t0 = t()
         res = self._finish_batch(batch, out)
+        if stats is not None:
+            stats["materialize"] += t() - t0
+            t0 = t()
         text = out_mod.format_batch(
             res,
             self.sp.c,
@@ -250,6 +293,8 @@ class Classifier:
             emit_fastq=self.emit_fastq,
         )
         out_fh.write(text)
+        if stats is not None:
+            stats["format"] += t() - t0
 
     def classify_reads(self, seqs: List[bytes]) -> np.ndarray:
         """Convenience: classify raw sequences -> original taxids."""

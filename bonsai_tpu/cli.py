@@ -35,6 +35,11 @@ def _add_classify(sub):
                    help="join the multi-host runtime first "
                         "(JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
                         "JAX_PROCESS_ID or TPU-pod autodetection)")
+    p.add_argument("--profile", action="store_true",
+                   help="print per-stage wall times (parse/dispatch/"
+                        "materialize/format) to stderr")
+    p.add_argument("--trace-dir", default=None,
+                   help="write a jax.profiler trace of the run here")
     return p
 
 
@@ -322,10 +327,19 @@ def _cmd_classify(args):
         emit_kraken=args.kraken,
         emit_fastq=args.fastq,
     )
+    import contextlib
+
+    trace_ctx = contextlib.nullcontext()
+    if args.trace_dir:
+        import jax.profiler
+
+        trace_ctx = jax.profiler.trace(args.trace_dir)
     out = open(args.out, "w") if args.out else sys.stdout
     try:
-        clf.process_dataset(args.reads, out, mate_path=args.mate,
-                            batch_size=args.chunk_size)
+        with trace_ctx:
+            clf.process_dataset(args.reads, out, mate_path=args.mate,
+                                batch_size=args.chunk_size,
+                                profile=args.profile)
     finally:
         if args.out:
             out.close()
