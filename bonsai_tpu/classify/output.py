@@ -67,7 +67,7 @@ def format_read(
     return "\t".join(cols) + "\t0:0\n"
 
 
-def _format_batch_native(res, comb_size, is_paired, emit_all):
+def _format_batch_native(res, comb_size, emit_all):
     """C formatter (native/src/kraken_out.cpp); returns None if the native
     library is unavailable."""
     from .. import native
@@ -86,21 +86,33 @@ def _format_batch_native(res, comb_size, is_paired, emit_all):
     lengths = np.ascontiguousarray(res.lengths, dtype=np.int32)
     taxon = np.ascontiguousarray(res.taxon, dtype=np.uint32)
     n_missing = np.ascontiguousarray(res.n_missing, dtype=np.int32)
+    n_kmers = np.ascontiguousarray(res.n_kmers, dtype=np.int32)
+    if res.n_kmers1 is not None:
+        n_kmers1 = np.ascontiguousarray(res.n_kmers1, dtype=np.int32)
+    else:
+        n_kmers1 = n_kmers
+    if res.paired:
+        lengths2 = np.ascontiguousarray(res.lengths2, dtype=np.int32)
+        l2_ptr = lengths2.ctypes.data
+    else:
+        l2_ptr = None
     P = taxa.shape[1] if taxa.ndim == 2 else 0
     cap = len(names_arena) + n * 80 + int(hm.sum()) * 14 + 1024
     while True:
         out = np.empty(cap, dtype=np.uint8)
         wrote = lib.btpu_format_kraken(
             n,
-            2 if is_paired else 1,
             names_arena,
             name_offs.ctypes.data,
             lengths.ctypes.data,
+            l2_ptr,
             taxon.ctypes.data,
             taxa.ctypes.data,
             hm.ctypes.data,
             P,
             n_missing.ctypes.data,
+            n_kmers.ctypes.data,
+            n_kmers1.ctypes.data,
             comb_size,
             1 if emit_all else 0,
             out.ctypes.data,
@@ -111,51 +123,55 @@ def _format_batch_native(res, comb_size, is_paired, emit_all):
         cap = -wrote
 
 
+def ambig_count(res, i: int, comb_size: int) -> int:
+    """The reference's ambiguous-position arithmetic (classifier.h:232-240),
+    in u32 wrap-around (it underflows for reads shorter than the seed span;
+    we reproduce the wrap — numpy 2 raises on negative uint32 construction).
+
+    Single-end: l - c + 1 - hits - missing == l - c + 1 - valid.
+    Paired: after mate 1, ambig = l1 - c + 1 - valid1; after mate 2 the
+    hit/miss counters hold BOTH mates, so the increment is
+    l2 - (c - 1) - valid_total."""
+    l1 = int(res.lengths[i])
+    v1 = int(res.n_kmers1[i]) if res.n_kmers1 is not None else int(res.n_kmers[i])
+    ambig = (l1 - comb_size + 1 - v1) & 0xFFFFFFFF
+    if res.paired:
+        l2 = int(res.lengths2[i])
+        ambig = (ambig + l2 - (comb_size - 1) - int(res.n_kmers[i])) & 0xFFFFFFFF
+    return ambig
+
+
 def format_batch(
     res,
     comb_size: int,
-    is_paired: bool = False,
     emit_all: bool = False,
     emit_kraken: bool = True,
     emit_fastq: bool = False,
 ) -> str:
-    """res: classify.pipeline.BatchResult."""
+    """res: classify.pipeline.BatchResult (one row per read or mate pair)."""
     if emit_kraken and not emit_fastq:
-        text = _format_batch_native(res, comb_size, is_paired, emit_all)
+        text = _format_batch_native(res, comb_size, emit_all)
         if text is not None:
             return text
-    return _format_batch_python(
-        res, comb_size, is_paired, emit_all, emit_kraken, emit_fastq
-    )
+    return _format_batch_python(res, comb_size, emit_all, emit_kraken, emit_fastq)
 
 
 def _format_batch_python(
     res,
     comb_size: int,
-    is_paired: bool = False,
     emit_all: bool = False,
     emit_kraken: bool = True,
     emit_fastq: bool = False,
 ) -> str:
     out: List[str] = []
-    B = len(res.names)
-    stride = 2 if is_paired else 1
-    for i in range(0, B, stride):
+    for i in range(len(res.names)):
         taxon = int(res.taxon[i])
         if not (emit_all or taxon):
             continue
         hits = res.taxa[i][res.hit_mask[i]]
-        n_hits = hits.size
         missing = int(res.n_missing[i])
         l1 = int(res.lengths[i])
-        # reference computes this in unsigned arithmetic and can underflow
-        # for reads shorter than the seed span (classifier.h:232); wrap
-        # explicitly (numpy 2 raises on negative uint32 construction)
-        ambig = (l1 - comb_size + 1 - n_hits - missing) & 0xFFFFFFFF
-        if is_paired:
-            # reference adds the mate contribution after merging counts
-            l2 = int(res.lengths[i + 1])
-            ambig = (ambig + l2 - (comb_size - 1) - n_hits - missing) & 0xFFFFFFFF
+        ambig = ambig_count(res, i, comb_size)
         name = res.names[i].decode("utf-8", "replace")
         if emit_fastq:
             comment = _fastq_comment(
@@ -165,11 +181,10 @@ def _format_batch_python(
             out.append(res.seqs[i].decode("ascii", "replace") + "\n+\n")
             q = res.quals[i] if res.quals and res.quals[i] else res.seqs[i]
             out.append(q.decode("ascii", "replace") + "\n")
-            if is_paired:
-                name2 = res.names[i + 1].decode("utf-8", "replace")
-                out.append(f"{name2} {comment}\n")
-                out.append(res.seqs[i + 1].decode("ascii", "replace") + "\n+\n")
-                q2 = res.quals[i + 1] if res.quals and res.quals[i + 1] else res.seqs[i + 1]
+            if res.paired:
+                out.append(f"{name} {comment}\n")
+                out.append(res.seqs2[i].decode("ascii", "replace") + "\n+\n")
+                q2 = res.quals2[i] if res.quals2 and res.quals2[i] else res.seqs2[i]
                 out.append(q2.decode("ascii", "replace") + "\n")
         elif emit_kraken:
             out.append(

@@ -37,15 +37,27 @@ from .resolve import resolve_batch
 
 @dataclass
 class BatchResult:
+    """One row per classification unit: a read, or a mate PAIR when paired
+    (the reference classifies pairs as one unit, classifier.h:236-240)."""
+
     names: List[bytes]
     seqs: List[bytes]
     quals: List[Optional[bytes]]
-    lengths: np.ndarray  # (B,)
-    taxon: np.ndarray  # (B,) original taxids, 0 = unclassified
-    taxa: np.ndarray  # (B, P) original taxids of DB hits (per kmer pos)
-    hit_mask: np.ndarray  # (B, P)
-    n_missing: np.ndarray  # (B,)
-    n_kmers: np.ndarray  # (B,) valid kmers per read
+    lengths: np.ndarray  # (R,) mate-1 lengths
+    taxon: np.ndarray  # (R,) original taxids, 0 = unclassified
+    taxa: np.ndarray  # (R, W) original taxids of DB hits (per kmer pos)
+    hit_mask: np.ndarray  # (R, W)
+    n_missing: np.ndarray  # (R,) total missing (both mates)
+    n_kmers: np.ndarray  # (R,) total valid kmers (both mates)
+    n_kmers1: Optional[np.ndarray] = None  # (R,) mate-1 valid kmers
+    # mate-2 fields, None for single-end
+    lengths2: Optional[np.ndarray] = None
+    seqs2: Optional[List[bytes]] = None
+    quals2: Optional[List[Optional[bytes]]] = None
+
+    @property
+    def paired(self) -> bool:
+        return self.lengths2 is not None
 
 
 class Classifier:
@@ -86,11 +98,17 @@ class Classifier:
         self._step_cache = {}
 
     # -- jitted device step ----------------------------------------------
-    def _make_step(self):
-        """One packed (B, 3 + ceil(P/32) + P) uint32 output per batch —
-        taxon | n_missing | n_kmers | hit-bitmask words | per-kmer taxa —
-        so the host needs a single device fetch (the reference's analog is
-        one contiguous sam buffer per read, classifier.h:221)."""
+    def _make_step(self, paired: bool = False):
+        """One packed (R, 4 + ceil(W/32) + W) uint32 output per batch —
+        taxon | n_missing | n_kmers | n_kmers_mate1 | hit-bitmask words |
+        per-kmer taxa — so the host needs a single device fetch (the
+        reference's analog is one contiguous sam buffer per read,
+        classifier.h:221).
+
+        paired=True treats adjacent row pairs (2i, 2i+1) as mates of one
+        read pair: hits of both mates merge into one resolve_tree call and
+        one output row of width W = 2P (classify_seq's paired branch,
+        classifier.h:236-240)."""
         import jax
         import jax.numpy as jnp
 
@@ -110,27 +128,38 @@ class Classifier:
             cidx = (packed & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
             oidx = (packed >> jnp.uint64(32)).astype(jnp.uint32)
             hit = valid & found
-            miss = valid & ~found
+            valid1 = valid.sum(axis=-1).astype(jnp.uint32)
+            if paired:
+                # merge mate rows: (B, P) -> (B/2, 2P); row-major reshape
+                # concatenates mate1's positions then mate2's
+                B, P = hit.shape
+                hit = hit.reshape(B // 2, 2 * P)
+                valid = valid.reshape(B // 2, 2 * P)
+                cidx = cidx.reshape(B // 2, 2 * P)
+                oidx = oidx.reshape(B // 2, 2 * P)
+                valid1 = valid1[0::2]
+            miss = valid & ~hit
             cidx = jnp.where(hit, cidx, 0)
             taxon_c = resolve_batch(cidx, hit, tax)
             taxon = tax["tax_ids"][taxon_c].astype(jnp.uint32)
             taxa = jnp.where(hit, oidx, 0).astype(jnp.uint32)
-            B, P = taxa.shape
-            hb = (P + 31) // 32
+            R, W = taxa.shape
+            hb = (W + 31) // 32
             if hb:
-                pad = jnp.zeros((B, hb * 32 - P), dtype=bool)
-                bits = jnp.concatenate([hit, pad], axis=1).reshape(B, hb, 32)
+                pad = jnp.zeros((R, hb * 32 - W), dtype=bool)
+                bits = jnp.concatenate([hit, pad], axis=1).reshape(R, hb, 32)
                 weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
                 hit_words = jnp.sum(
                     bits.astype(jnp.uint32) * weights, axis=-1, dtype=jnp.uint32
                 )
             else:
-                hit_words = jnp.zeros((B, 0), dtype=jnp.uint32)
+                hit_words = jnp.zeros((R, 0), dtype=jnp.uint32)
             head = jnp.stack(
                 [
                     taxon,
                     miss.sum(axis=-1).astype(jnp.uint32),
                     valid.sum(axis=-1).astype(jnp.uint32),
+                    valid1,
                 ],
                 axis=1,
             )
@@ -138,10 +167,11 @@ class Classifier:
 
         return step
 
-    def _step(self):
-        if "fn" not in self._step_cache:
-            self._step_cache["fn"] = self._make_step()
-        return self._step_cache["fn"]
+    def _step(self, paired: bool = False):
+        key = "fn_paired" if paired else "fn"
+        if key not in self._step_cache:
+            self._step_cache[key] = self._make_step(paired)
+        return self._step_cache[key]
 
     # -- per-batch --------------------------------------------------------
     @staticmethod
@@ -153,16 +183,20 @@ class Classifier:
             b <<= 1
         return b
 
-    def classify_batch(self, batch: fastx.ReadBatch) -> BatchResult:
-        return self._finish_batch(batch, self._dispatch_batch(batch))
+    def classify_batch(
+        self, batch: fastx.ReadBatch, paired: bool = False
+    ) -> BatchResult:
+        return self._finish_batch(
+            batch, self._dispatch_batch(batch, paired), paired
+        )
 
-    def _dispatch_batch(self, batch: fastx.ReadBatch):
+    def _dispatch_batch(self, batch: fastx.ReadBatch, paired: bool = False):
         """Async half of classify_batch: returns the on-device result
         (dispatch only; materialize with _finish_batch).  Used for batch
         pipelining in process_dataset."""
         import jax.numpy as jnp
 
-        step = self._step()
+        step = self._step(paired)
         n = len(batch.names)
         Bp = self._bucket_batch(n)
         codes, lengths = batch.codes, batch.lengths
@@ -178,28 +212,49 @@ class Classifier:
             self._arrays[1],
         )
 
-    def _finish_batch(self, batch: fastx.ReadBatch, out) -> BatchResult:
+    def _finish_batch(
+        self, batch: fastx.ReadBatch, out, paired: bool = False
+    ) -> BatchResult:
         n = len(batch.names)
+        R = n // 2 if paired else n
         # fetch the whole padded matrix in one transfer; trim on host (a
         # device-side out[:n] would compile a fresh slice op per batch size)
-        out = np.asarray(out)[:n]
+        out = np.asarray(out)[:R]
         P = batch.codes.shape[1] - self.sp.c + 1
         P = max(P, 0)
-        hb = (P + 31) // 32
+        W = 2 * P if paired else P
+        hb = (W + 31) // 32
         taxon = out[:, 0]
         n_missing = out[:, 1].astype(np.int32)
         n_kmers = out[:, 2].astype(np.int32)
-        hit_words = out[:, 3 : 3 + hb]
-        taxa = out[:, 3 + hb :]
-        if P:
+        n_kmers1 = out[:, 3].astype(np.int32)
+        hit_words = out[:, 4 : 4 + hb]
+        taxa = out[:, 4 + hb :]
+        if W:
             shifts = np.arange(32, dtype=np.uint32)
             hit = (
                 (hit_words[:, :, None] >> shifts) & np.uint32(1)
-            ).astype(bool).reshape(n, hb * 32)[:, :P]
+            ).astype(bool).reshape(R, hb * 32)[:, :W]
         else:
-            hit = np.zeros((n, 0), dtype=bool)
+            hit = np.zeros((R, 0), dtype=bool)
         self.n_classified += int((taxon != 0).sum())
         self.n_unclassified += int((taxon == 0).sum())
+        if paired:
+            return BatchResult(
+                names=batch.names[0::2],
+                seqs=batch.seqs[0::2],
+                quals=batch.quals[0::2] if batch.quals else None,
+                lengths=batch.lengths[0::2],
+                taxon=taxon,
+                taxa=taxa,
+                hit_mask=hit,
+                n_missing=n_missing,
+                n_kmers=n_kmers,
+                n_kmers1=n_kmers1,
+                lengths2=batch.lengths[1::2],
+                seqs2=batch.seqs[1::2],
+                quals2=batch.quals[1::2] if batch.quals else None,
+            )
         return BatchResult(
             names=batch.names,
             seqs=batch.seqs,
@@ -210,6 +265,7 @@ class Classifier:
             hit_mask=hit,
             n_missing=n_missing,
             n_kmers=n_kmers,
+            n_kmers1=n_kmers1,
         )
 
     # -- full dataset ------------------------------------------------------
@@ -235,6 +291,8 @@ class Classifier:
         import time as _time
 
         is_paired = mate_path is not None
+        if is_paired and batch_size % 2:
+            batch_size += 1  # pairs must not straddle batches
         self.stage_seconds = {
             "parse": 0.0, "dispatch": 0.0, "materialize": 0.0, "format": 0.0,
         }
@@ -254,7 +312,7 @@ class Classifier:
                 break
             n_reads += len(batch.names)
             t0 = t()
-            out = self._dispatch_batch(batch)
+            out = self._dispatch_batch(batch, is_paired)
             stats["dispatch"] += t() - t0
             if pending is not None:
                 self._write_result(out_fh, *pending, is_paired)
@@ -280,14 +338,13 @@ class Classifier:
         stats = getattr(self, "stage_seconds", None)
         t = _time.perf_counter
         t0 = t()
-        res = self._finish_batch(batch, out)
+        res = self._finish_batch(batch, out, is_paired)
         if stats is not None:
             stats["materialize"] += t() - t0
             t0 = t()
         text = out_mod.format_batch(
             res,
             self.sp.c,
-            is_paired=is_paired,
             emit_all=self.emit_all,
             emit_kraken=self.emit_kraken,
             emit_fastq=self.emit_fastq,

@@ -377,7 +377,10 @@ def _cmd_build(args):
         table = minimized_map(paths, p1.table, tree, args.seq2tax, sp, canon)
         scheme = "hash"
     else:
-        scheme = "entropy" if args.entropy else "lex"
+        # `bonsai build -e` reaches entropy scoring through the FILE
+        # overload's generic windowed loops (ent_score eps 1e-4), not the
+        # fused string-overload path — see core/encoder.py docstring.
+        scheme = "entropy-file" if args.entropy else "lex"
         table = lca_map(paths, tree, args.seq2tax, sp, canon, scheme)
     db = Database(table=table, k=k, w=w, gaps=gaps, canonicalize=canon, scheme=scheme)
     if args.bonsai_format:

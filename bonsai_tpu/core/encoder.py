@@ -29,6 +29,21 @@ Scoring schemes: lex (FRev64 bit-mix), entropy (kmer / (H+eps)), hash
 has an inverted branch and returns the value at slot 0 for present keys,
 degenerating TAX_DEPTH/FEATURE_COUNT minimization to raw-kmer ordering; we
 implement the documented intent (lookup of the phase-1 score) instead.
+
+The reference has TWO distinct entropy disciplines:
+
+* scheme "entropy" — the fused string-overload machinery
+  (for_each_*_unspaced_windowed_entropy_, encoder.h:308-346): uncanonical
+  selection with eps .001, canonicalize the emitted winners, restart on N.
+* scheme "entropy-file" — what `bonsai build -e` actually runs: the FILE
+  overload dispatches on windowed-ness only (for_each_canon(ks),
+  encoder.h:448-451), so entropy scoring happens in the generic windowed
+  loops via score::Entropy/ent_score with eps 1e-4: canonical path scores
+  the CANONICAL kmer against the gathered-window entropy (kmer() feeds the
+  tracker, encoder.h:557-575); the uncanonical rolling path never feeds the
+  tracker, so its H is pinned at NOT_FULL == -1.
+Both convert the double score to u64 with the pre-AVX512 x86 semantics
+(entropy.f64_to_u64_x86; the oracle is built -march=x86-64-v3 to pin this).
 """
 
 from __future__ import annotations
@@ -73,7 +88,7 @@ class BatchEncoder:
         input_type: InputType = InputType.DNA,
         score_map: Optional[object] = None,
     ):
-        if scheme not in ("lex", "entropy", "hash"):
+        if scheme not in ("lex", "entropy", "entropy-file", "hash"):
             raise ValueError(f"unknown scheme {scheme}")
         self.sp = spacer
         self.it = InputType(input_type)
@@ -91,7 +106,16 @@ class BatchEncoder:
             if self.score_map is None:
                 raise ValueError("hash scheme requires a score_map")
             return self.score_map.lookup_scores(kmers)
-        # entropy
+        if self.scheme == "entropy-file":
+            # The FILE-overload entropy paths all see ent.value() == NOT_FULL
+            # == -1: kmer()'s gather seeds the first char without pushing it
+            # (encoder.h:551 vs :563), so the k-char tracker holds k-1 chars,
+            # and the rolling uncanonical loop never pushes at all
+            # (encoder.h:274-306).  `bonsai build -e` therefore scores every
+            # seed as kmer / (-1 + 1e-4) — max-kmer selection; reproduced
+            # bit-exactly (conversion semantics in entropy.f64_to_u64_x86).
+            return entropy.entropy_scores(kmers, -1.0, 1e-4)
+        # entropy (fused string-overload path: real windowed entropy)
         xp = _xp(kmers)
         sp = self.sp
         n_codes = radix_of(self.it)
@@ -134,6 +158,19 @@ class BatchEncoder:
             em = self._windowed_compacted(kmers, invalid, valid, codes, eps=1e-3)
             vals = encode.canonicalize(em.values, sp.k)
             return Emissions(xp.where(em.mask, vals, em.values), em.mask)
+        if (not self.canon) and self.scheme == "entropy-file" and sp.unspaced():
+            # file-overload entropy, uncanonical (for_each_uncanon_unspaced_
+            # windowed, encoder.h:274-306): the rolling loop never feeds the
+            # entropy tracker, so ent.value() is always NOT_FULL == -1 and
+            # the score degenerates to u64(kmer / (-1 + 1e-4)) — effectively
+            # max-kmer selection.  Reproduced exactly.
+            scores = entropy.entropy_scores(kmers, -1.0, 1e-4)
+            out_k, out_v, tail_k, tail_v = minimize.compacted_minimizers(
+                scores, kmers, valid, W
+            )
+            values = xp.concatenate([tail_k[:, None], out_k], axis=-1)
+            mask = xp.concatenate([tail_v[:, None], out_v], axis=-1)
+            return Emissions(values, mask)
         if self.canon:
             # in-read N positions push canonical(OVERFLOW) == 0; pad tail is
             # masked out via n_push so its values are irrelevant
@@ -151,7 +188,7 @@ class BatchEncoder:
             return self._windowed_compacted(kmers, invalid, valid, codes, eps=None)
         # spaced windowed: every position pushed, N-seeds as OVERFLOW
         ov = xp.where(invalid, xp.uint64(U64_MAX), kmers)
-        if self.scheme == "entropy":
+        if self.scheme in ("entropy", "entropy-file"):
             # invalid seeds have a partially-filled tracker -> NOT_FULL,
             # whose quotient is out of i64 range -> 0x8000...0 (see entropy.py)
             s_valid = self._scores(ov, codes, eps=1e-4)

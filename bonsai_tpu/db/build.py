@@ -152,10 +152,14 @@ def _contig_sets(enc, seq, lut, sp, block, use_device):
         else:
             em = enc.emissions(codes, lengths)
             vals, mask = np.asarray(em.values), np.asarray(em.mask)
-        if not is_last and not sp.unwindowed() and not enc.canon:
+        if not is_last and sp.w > sp.c and not enc.canon:
             # windowed uncanon: drop the trailing partial emission of a
             # non-final chunk (it is not a real contig end) — slot 0 by
-            # construction (see BatchEncoder._windowed_compacted).
+            # construction (see BatchEncoder._windowed_compacted).  Only
+            # W = w-c+1 > 1 windows have a partial trailing window; a
+            # spaced seed with w == c fills its 1-wide window at every
+            # position, so its slot 0 is a REAL emission (QueueMap(1)
+            # semantics, qmap.h:80-87).
             mask = mask.copy()
             mask[:, 0] = False
         out.append(np.unique(vals[mask]))
@@ -429,9 +433,8 @@ def minimized_map(
                          score_map=smap, use_device=use_device)
     keys = np.unique(np.concatenate([k for _, k in gs])) if gs else np.zeros(0, np.uint64)
     vals, found = phase1.probe_np(keys)
-    if not bool(found.all()):
-        raise ValueError(
-            "minimized_map: kmer missing from phase-1 database "
-            "(check matching spacer and k)"
-        )
+    # All-N windows emit the canonical(OVERFLOW) == 0 sentinel, which phase 1
+    # (unwindowed, N seeds dropped) never contains; such unscorable keys are
+    # skipped (update_minimized_map, feature_min.h:274, as intended).
+    keys, vals = keys[found], vals[found]
     return KmerTable(keys, (vals & np.uint64(TAX_T_MAX)).astype(np.uint32))

@@ -87,7 +87,9 @@ def load_database(path: str) -> Database:
     with opener(path, "rb") as fh:
         magic = fh.read(len(MAGIC))
         if magic != MAGIC:
-            raise ValueError(f"{path}: not a BTPU1 database")
+            # Not native: fall through to the reference khash image
+            # (database.h:33-56) so `classify` consumes bonsai DBs directly.
+            return import_bonsai_database(path)
         (hlen,) = struct.unpack("<I", fh.read(4))
         header = json.loads(fh.read(hlen))
         n = header["n"]

@@ -105,6 +105,14 @@ def first_header(path: str) -> str:
         return fh.readline().decode("utf-8", "replace").strip()
 
 
+def trim_readno(name: bytes) -> bytes:
+    """Strip a '/<digit>' mate suffix from a read name, as the reference's
+    batch reader does for every read (kseq_declare.h trim_readno)."""
+    if len(name) > 2 and name[-2:-1] == b"/" and name[-1:].isdigit():
+        return name[:-2]
+    return name
+
+
 @dataclass
 class ReadBatch:
     names: List[bytes]
@@ -162,7 +170,7 @@ def batch_reads(
     seqs: List[bytes] = []
     quals: List[Optional[bytes]] = []
     for name, seq, qual in records():
-        names.append(name)
+        names.append(trim_readno(name))
         seqs.append(seq)
         quals.append(qual)
         if len(names) >= batch_size:

@@ -128,16 +128,18 @@ def _declare(lib):
 
     lib.btpu_format_kraken.restype = c.c_int64
     lib.btpu_format_kraken.argtypes = [
-        c.c_int64,   # n
-        c.c_int64,   # stride
+        c.c_int64,   # n (rows = reads or merged mate pairs)
         c.c_void_p,  # names arena
         c.c_void_p,  # name_offs
-        c.c_void_p,  # lengths
+        c.c_void_p,  # lengths (mate 1)
+        c.c_void_p,  # lengths2 (mate 2, NULL for single-end)
         c.c_void_p,  # taxon
         c.c_void_p,  # taxa
         c.c_void_p,  # hitmask
-        c.c_int64,   # P
+        c.c_int64,   # P (row width)
         c.c_void_p,  # n_missing
+        c.c_void_p,  # n_kmers (total valid)
+        c.c_void_p,  # n_kmers1 (mate-1 valid)
         c.c_int32,   # comb_size
         c.c_int32,   # emit_all
         c.c_void_p,  # out

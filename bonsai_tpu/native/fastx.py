@@ -84,8 +84,11 @@ class NativeFastxReader:
         nbytes = names_arena.tobytes()
         sbytes = seqs_arena.tobytes()
         qbytes = quals_arena.tobytes() if has_qual.value else b""
+        from ..io.fastx import trim_readno
+
         names: List[bytes] = [
-            nbytes[name_offs[i] : name_offs[i + 1]] for i in range(n)
+            trim_readno(nbytes[name_offs[i] : name_offs[i + 1]])
+            for i in range(n)
         ]
         seqs: List[bytes] = [sbytes[seq_offs[i] : seq_offs[i + 1]] for i in range(n)]
         if has_qual.value:

@@ -28,15 +28,20 @@ inline char *put_u32(char *p, uint32_t v) {
 
 }  // namespace
 
+// One row per classification unit (a read, or a merged mate pair whose
+// hit row spans both mates).  lengths2 is non-null for paired batches;
+// n_kmers / n_kmers1 are the valid-kmer counts feeding the reference's
+// ambiguity arithmetic (classifier.h:232-240).
 extern "C" int64_t btpu_format_kraken(
-    int64_t n, int64_t stride, const uint8_t *names, const int64_t *name_offs,
-    const int32_t *lengths, const uint32_t *taxon, const uint32_t *taxa,
-    const uint8_t *hitmask, int64_t P, const int32_t *n_missing,
+    int64_t n, const uint8_t *names, const int64_t *name_offs,
+    const int32_t *lengths, const int32_t *lengths2, const uint32_t *taxon,
+    const uint32_t *taxa, const uint8_t *hitmask, int64_t P,
+    const int32_t *n_missing, const int32_t *n_kmers, const int32_t *n_kmers1,
     int32_t comb_size, int32_t emit_all, uint8_t *out, int64_t cap) {
   char *p = (char *)out;
   char *end = (char *)out + cap;
   int64_t needed_extra = 0;
-  for (int64_t i = 0; i < n; i += stride) {
+  for (int64_t i = 0; i < n; ++i) {
     uint32_t t = taxon[i];
     if (!emit_all && !t) continue;
     // worst case line length: name + 64 header + 12 bytes per hit run
@@ -62,13 +67,13 @@ extern "C" int64_t btpu_format_kraken(
     uint32_t l1 = (uint32_t)lengths[i];
     p = put_u32(p, l1);
     uint32_t missing = (uint32_t)n_missing[i];
-    // reference unsigned arithmetic (classifier.h:232-235), wraps for
-    // short reads
-    uint32_t ambig =
-        l1 - (uint32_t)comb_size + 1u - (uint32_t)n_hits - missing;
-    if (stride == 2) {
-      uint32_t l2 = (uint32_t)lengths[i + 1];
-      ambig += l2 - ((uint32_t)comb_size - 1u) - (uint32_t)n_hits - missing;
+    // reference unsigned arithmetic (classifier.h:232-240), wraps for
+    // short reads: l - c + 1 - valid, plus the mate-2 increment against
+    // the combined valid count
+    uint32_t ambig = l1 - (uint32_t)comb_size + 1u - (uint32_t)n_kmers1[i];
+    if (lengths2) {
+      uint32_t l2 = (uint32_t)lengths2[i];
+      ambig += l2 - ((uint32_t)comb_size - 1u) - (uint32_t)n_kmers[i];
     }
     if (missing) {
       *p++ = '\t';

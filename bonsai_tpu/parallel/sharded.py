@@ -83,11 +83,11 @@ class ShardedClassifier:
             k: jax.device_put(v, repl) for k, v in tree.device_arrays().items()
         }
         self._rows_per_shard = rows // self.ndb
-        self._fn = None
+        self._fns = {}
         self.n_classified = 0
         self.n_unclassified = 0
 
-    def _build_fn(self):
+    def _build_fn(self, paired: bool = False):
         import jax
         import jax.numpy as jnp
         shard_map = jax.shard_map
@@ -149,7 +149,17 @@ class ShardedClassifier:
             vo = jax.lax.psum(jnp.where(found, vo, 0), "db")
             found = jax.lax.psum(found.astype(jnp.int32), "db") > 0
             hit = valid & found
-            miss = valid & ~found
+            valid1 = valid.sum(-1).astype(jnp.int32)
+            if paired:
+                # adjacent rows are mates of one pair (shard-local: the
+                # caller keeps the per-shard row count even)
+                B, P_ = hit.shape
+                hit = hit.reshape(B // 2, 2 * P_)
+                valid = valid.reshape(B // 2, 2 * P_)
+                vc = vc.reshape(B // 2, 2 * P_)
+                vo = vo.reshape(B // 2, 2 * P_)
+                valid1 = valid1[0::2]
+            miss = valid & ~hit
             cidx = jnp.where(hit, vc, 0)
             taxon_c = resolve_batch(cidx, hit, tax)
             taxon = tax["tax_ids"][taxon_c]
@@ -159,6 +169,7 @@ class ShardedClassifier:
                 hit,
                 miss.sum(-1).astype(jnp.int32),
                 valid.sum(-1).astype(jnp.int32),
+                valid1,
             )
 
         fn = shard_map(
@@ -168,16 +179,16 @@ class ShardedClassifier:
                 P("dp"), P("dp"), P("db"),
                 P() if self._inline else P("db"),
             ),
-            out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+            out_specs=(P("dp"),) * 6,
         )
         return jax.jit(fn)
 
-    def step(self, codes, lengths):
+    def step(self, codes, lengths, paired: bool = False):
         import jax.numpy as jnp
 
-        if self._fn is None:
-            self._fn = self._build_fn()
-        return self._fn(
+        if paired not in self._fns:
+            self._fns[paired] = self._build_fn(paired)
+        return self._fns[paired](
             jnp.asarray(codes),
             jnp.asarray(lengths),
             self._slots,
@@ -185,32 +196,48 @@ class ShardedClassifier:
         )
 
     # -- host-facing surface (mirrors classify.pipeline.Classifier) -------
-    def classify_batch(self, batch):
+    def classify_batch(self, batch, paired: bool = False):
         """ReadBatch -> BatchResult, padding B up to a multiple of the
         'dp' axis (and a pow2 bucket, to keep the compiled-shape set
-        small)."""
+        small).  For paired batches the per-shard row count stays even so
+        mate pairs never straddle a shard boundary."""
         from ..classify.pipeline import BatchResult, Classifier
 
         n = len(batch.names)
         Bp = Classifier._bucket_batch(n)
-        if Bp % self.ndp:
-            Bp = ((Bp + self.ndp - 1) // self.ndp) * self.ndp
+        mult = self.ndp * 2 if paired else self.ndp
+        if Bp % mult:
+            Bp = ((Bp + mult - 1) // mult) * mult
         codes, lengths = batch.codes, batch.lengths
         if Bp != n:
             codes = np.full((Bp, codes.shape[1]), -1, dtype=np.int8)
             codes[:n] = batch.codes
             lengths = np.zeros(Bp, dtype=np.int32)
             lengths[:n] = batch.lengths
-        taxon, taxa, hit, n_missing, n_kmers = map(
-            np.asarray, self.step(codes, lengths)
+        taxon, taxa, hit, n_missing, n_kmers, n_kmers1 = map(
+            np.asarray, self.step(codes, lengths, paired)
         )
-        self.n_classified += int((taxon[:n] != 0).sum())
-        self.n_unclassified += int((taxon[:n] == 0).sum())
+        R = n // 2 if paired else n
+        taxon = taxon[:R]
+        self.n_classified += int((taxon != 0).sum())
+        self.n_unclassified += int((taxon == 0).sum())
+        if paired:
+            return BatchResult(
+                names=batch.names[0::2], seqs=batch.seqs[0::2],
+                quals=batch.quals[0::2] if batch.quals else None,
+                lengths=batch.lengths[0::2], taxon=taxon, taxa=taxa[:R],
+                hit_mask=hit[:R], n_missing=n_missing[:R].astype(np.int32),
+                n_kmers=n_kmers[:R].astype(np.int32),
+                n_kmers1=n_kmers1[:R].astype(np.int32),
+                lengths2=batch.lengths[1::2], seqs2=batch.seqs[1::2],
+                quals2=batch.quals[1::2] if batch.quals else None,
+            )
         return BatchResult(
             names=batch.names, seqs=batch.seqs, quals=batch.quals,
-            lengths=batch.lengths, taxon=taxon[:n], taxa=taxa[:n],
+            lengths=batch.lengths, taxon=taxon, taxa=taxa[:n],
             hit_mask=hit[:n], n_missing=n_missing[:n].astype(np.int32),
             n_kmers=n_kmers[:n].astype(np.int32),
+            n_kmers1=n_kmers1[:n].astype(np.int32),
         )
 
     def process_dataset(self, path, out_fh, mate_path=None,
@@ -224,13 +251,15 @@ class ShardedClassifier:
 
         lut = alphabet_of(self.enc.it).lut
         is_paired = mate_path is not None
+        if is_paired and batch_size % 2:
+            batch_size += 1
         for batch in fastx.batch_reads(
             path, lut, batch_size=batch_size, mate_path=mate_path
         ):
-            res = self.classify_batch(batch)
+            res = self.classify_batch(batch, is_paired)
             out_fh.write(
                 out_mod.format_batch(
-                    res, self.sp.c, is_paired=is_paired, emit_all=emit_all,
+                    res, self.sp.c, emit_all=emit_all,
                     emit_kraken=emit_kraken, emit_fastq=emit_fastq,
                 )
             )

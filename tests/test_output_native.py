@@ -12,14 +12,28 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _mk(B=512, P=37, seed=0, short=False):
+def _mk(B=512, P=37, seed=0, short=False, paired=False):
     rng = np.random.default_rng(seed)
-    taxa = rng.choice([0, 7, 11, 12, 2, 0xFFFFFFFF], size=(B, P)).astype(
+    W = 2 * P if paired else P
+    taxa = rng.choice([0, 7, 11, 12, 2, 0xFFFFFFFF], size=(B, W)).astype(
         np.uint32
     )
     lengths = np.full(B, 101, dtype=np.int32)
     if short:
         lengths[::3] = 10  # forces the unsigned ambig wrap
+    hit = (taxa != 0) & (rng.random((B, W)) < 0.8)
+    n_missing = rng.integers(0, 30, B).astype(np.int32)
+    n_kmers = (hit.sum(axis=1) + n_missing).astype(np.int32)
+    kw = {}
+    if paired:
+        kw = dict(
+            lengths2=np.full(B, 101, dtype=np.int32),
+            seqs2=[b"C" * 101] * B,
+            quals2=[None] * B,
+            n_kmers1=np.minimum(n_kmers, P).astype(np.int32),
+        )
+    else:
+        kw = dict(n_kmers1=n_kmers)
     return BatchResult(
         names=[b"r%d/some|name" % i for i in range(B)],
         seqs=[b"A" * 101] * B,
@@ -27,9 +41,10 @@ def _mk(B=512, P=37, seed=0, short=False):
         lengths=lengths,
         taxon=rng.choice([0, 7, 11], B).astype(np.uint32),
         taxa=taxa,
-        hit_mask=(taxa != 0) & (rng.random((B, P)) < 0.8),
-        n_missing=rng.integers(0, 30, B).astype(np.int32),
-        n_kmers=np.full(B, P, dtype=np.int32),
+        hit_mask=hit,
+        n_missing=n_missing,
+        n_kmers=n_kmers,
+        **kw,
     )
 
 
@@ -37,25 +52,20 @@ def _mk(B=512, P=37, seed=0, short=False):
 @pytest.mark.parametrize("emit_all", [False, True])
 @pytest.mark.parametrize("short", [False, True])
 def test_native_matches_python(paired, emit_all, short):
-    res = _mk(short=short)
-    nat = out_mod._format_batch_native(res, 31, paired, emit_all)
-    py = out_mod._format_batch_python(res, 31, paired, emit_all, True, False)
+    res = _mk(short=short, paired=paired)
+    nat = out_mod._format_batch_native(res, 31, emit_all)
+    py = out_mod._format_batch_python(res, 31, emit_all, True, False)
     assert nat == py
 
 
-def test_tiny_buffer_retry(monkeypatch):
-    # force the retry path by making the initial capacity estimate tiny
+def test_tiny_buffer_retry():
     res = _mk(B=64)
-    py = out_mod._format_batch_python(res, 31, False, True, True, False)
-    import bonsai_tpu.classify.output as om
-
-    orig = om._format_batch_native.__code__  # noqa: F841 (sanity)
-    nat = om._format_batch_native(res, 31, False, True)
+    py = out_mod._format_batch_python(res, 31, True, True, False)
+    nat = out_mod._format_batch_native(res, 31, True)
     assert nat == py
 
 
 def test_empty_batch():
-    res = _mk(B=0, P=0)
     res = BatchResult(
         names=[], seqs=[], quals=[], lengths=np.zeros(0, np.int32),
         taxon=np.zeros(0, np.uint32), taxa=np.zeros((0, 0), np.uint32),

@@ -68,7 +68,7 @@ def test_sharded_matches_single(setup, dp, dbs):
 
     mesh = make_mesh({"dp": dp, "db": dbs})
     sc = ShardedClassifier(db, tree, mesh)
-    taxon, taxa, hit, n_missing, n_kmers = sc.step(codes, lengths)
+    taxon, taxa, hit, n_missing, n_kmers, n_kmers1 = sc.step(codes, lengths)
     np.testing.assert_array_equal(np.asarray(taxon), ref.taxon)
     np.testing.assert_array_equal(np.asarray(hit), ref.hit_mask)
     np.testing.assert_array_equal(np.asarray(n_missing), ref.n_missing)
