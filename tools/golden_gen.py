@@ -82,11 +82,11 @@ def write_fixtures() -> dict:
     os.makedirs(GOLD, exist_ok=True)
     rng = random.Random(20260818)
     phix = read_fasta_body(os.path.join(DATA, "phix.fa")).upper()
-    small = read_fasta_body(os.path.join(DATA, "small_genome.fa")).upper()
+    rand = "".join(rng.choice("ACGT") for _ in range(20000))
     genomes = {
         "g_phix.fa": (">phix_g\n%s\n" % phix, 101),
         "g_phixmut.fa": (">phixmut_g\n%s\n" % mutate(phix, 0.01, rng), 102),
-        "g_small.fa": (">small_g\n%s\n" % small, 200),
+        "g_rand.fa": (">rand_g\n%s\n" % rand, 200),
     }
     paths = []
     nameid = []
@@ -104,7 +104,7 @@ def write_fixtures() -> dict:
     # mixed single-end reads: both genomes, revcomp, Ns, short reads,
     # lowercase, pure-N
     comp = str.maketrans("ACGTacgtN", "TGCAtgcaN")
-    srcs = [phix, genomes["g_phixmut.fa"][0].split("\n")[1], small]
+    srcs = [phix, genomes["g_phixmut.fa"][0].split("\n")[1], rand]
     lines = []
     for i in range(400):
         s = srcs[rng.randrange(len(srcs))]
@@ -204,8 +204,11 @@ def main() -> int:
         run([ORACLE, "classify", "-p", "2", "-o", out,
              *[a for a in extra if a.startswith("-")],
              dbp, nodes, *[a for a in extra if not a.startswith("-")]])
-        with open(out, "rb") as fh, gzip.open(os.path.join(GOLD, gz), "wb", mtime=0) as z:
-            z.write(fh.read())
+        with open(out, "rb") as fh:
+            data = fh.read()
+        with open(os.path.join(GOLD, gz), "wb") as raw:
+            with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as z:
+                z.write(data)
         print(gz, "written")
     manifest["classify"] = {
         "db": "lex_k25",
