@@ -24,7 +24,12 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_cache")
-BASELINE_READS_PER_S = 1.0e7  # 20-thread CPU bonsai estimate
+# Round-1 used a 1e7 guess for "20-thread CPU bonsai".  Round 2 compiled the
+# reference (tools/refbuild) and MEASURED it on this exact workload (the
+# 10.4M-key ec k=31 DB, 101bp reads): 111,487 reads/s on 1 thread, 204,644
+# on 2 (all this host offers), near-linear scaling.  20-thread baseline =
+# 20 x the measured single-thread rate (generous: assumes perfect scaling).
+BASELINE_READS_PER_S = 111_487.0 * 20
 K = 31
 
 
