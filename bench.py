@@ -113,22 +113,24 @@ def main():
     @jax.jit
     def chained(jc, jl, slots, vals, salt):
         # fold the previous step's taxa into the read codes' pad region:
-        # a real data dependency with negligible cost
+        # a real data dependency with negligible cost.  Both step outputs
+        # (compact RLE + full positional matrix) stay live, matching what
+        # the CLI pipeline computes per batch.
         jc = jc.at[:, -1].set((salt[: jc.shape[0]] % 4).astype(jc.dtype))
         return step(jc, jl, slots, vals)
 
     salt = jnp.zeros(batch, dtype=jnp.uint32)
     out = chained(jc, jl, slots, vals, salt)
-    np.asarray(out.ravel()[:1])  # sync
+    np.asarray(out[0].ravel()[:1])  # sync
     # the runtime needs ~20 executions of a fresh executable before hitting
     # steady state; warm up unmeasured (still chained / content-fresh)
     for _ in range(25):
-        out = chained(jc, jl, slots, vals, out[:, 0])
-    np.asarray(out.ravel()[:1])
+        out = chained(jc, jl, slots, vals, out[0][:, 0])
+    np.asarray(out[0].ravel()[:1])
     t0 = time.time()
     for _ in range(steps):
-        out = chained(jc, jl, slots, vals, out[:, 0])  # taxon column
-    np.asarray(out.ravel()[:1])  # sync
+        out = chained(jc, jl, slots, vals, out[0][:, 0])  # taxon column
+    np.asarray(out[0].ravel()[:1])  # sync
     dt = time.time() - t0
     reads_per_s = batch * steps / dt
     print(

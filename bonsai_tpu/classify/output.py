@@ -81,6 +81,10 @@ def _format_batch_native(res, comb_size, emit_all):
     names_arena = b"".join(res.names)
     name_offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum([len(x) for x in res.names], out=name_offs[1:])
+    if res.compact:
+        return _format_batch_native_runs(
+            lib, res, names_arena, name_offs, comb_size, emit_all
+        )
     taxa = np.ascontiguousarray(res.taxa, dtype=np.uint32)
     hm = np.ascontiguousarray(res.hit_mask, dtype=np.uint8)
     lengths = np.ascontiguousarray(res.lengths, dtype=np.int32)
@@ -110,6 +114,54 @@ def _format_batch_native(res, comb_size, emit_all):
             taxa.ctypes.data,
             hm.ctypes.data,
             P,
+            n_missing.ctypes.data,
+            n_kmers.ctypes.data,
+            n_kmers1.ctypes.data,
+            comb_size,
+            1 if emit_all else 0,
+            out.ctypes.data,
+            cap,
+        )
+        if wrote >= 0:
+            return out[:wrote].tobytes().decode("utf-8", "replace")
+        cap = -wrote
+
+
+def _format_batch_native_runs(lib, res, names_arena, name_offs, comb_size,
+                              emit_all):
+    """Runs-based C formatter for compact (device-RLE) batches."""
+    n = len(res.names)
+    run_vals = np.ascontiguousarray(res.run_vals, dtype=np.uint32)
+    run_lens = np.ascontiguousarray(res.run_lens, dtype=np.uint32)
+    n_runs = np.ascontiguousarray(res.n_runs, dtype=np.int32)
+    maxr = run_vals.shape[1] if run_vals.ndim == 2 else 0
+    lengths = np.ascontiguousarray(res.lengths, dtype=np.int32)
+    taxon = np.ascontiguousarray(res.taxon, dtype=np.uint32)
+    n_missing = np.ascontiguousarray(res.n_missing, dtype=np.int32)
+    n_kmers = np.ascontiguousarray(res.n_kmers, dtype=np.int32)
+    if res.n_kmers1 is not None:
+        n_kmers1 = np.ascontiguousarray(res.n_kmers1, dtype=np.int32)
+    else:
+        n_kmers1 = n_kmers
+    if res.paired:
+        lengths2 = np.ascontiguousarray(res.lengths2, dtype=np.int32)
+        l2_ptr = lengths2.ctypes.data
+    else:
+        l2_ptr = None
+    cap = len(names_arena) + n * 80 + int(n_runs.sum()) * 25 + 1024
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        wrote = lib.btpu_format_kraken_runs(
+            n,
+            names_arena,
+            name_offs.ctypes.data,
+            lengths.ctypes.data,
+            l2_ptr,
+            taxon.ctypes.data,
+            run_vals.ctypes.data,
+            run_lens.ctypes.data,
+            n_runs.ctypes.data,
+            maxr,
             n_missing.ctypes.data,
             n_kmers.ctypes.data,
             n_kmers1.ctypes.data,
@@ -168,7 +220,7 @@ def _format_batch_python(
         taxon = int(res.taxon[i])
         if not (emit_all or taxon):
             continue
-        hits = res.taxa[i][res.hit_mask[i]]
+        hits = res.hit_taxa(i)
         missing = int(res.n_missing[i])
         l1 = int(res.lengths[i])
         ambig = ambig_count(res, i, comb_size)

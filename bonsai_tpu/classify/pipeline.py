@@ -38,18 +38,29 @@ from .resolve import resolve_batch
 @dataclass
 class BatchResult:
     """One row per classification unit: a read, or a mate PAIR when paired
-    (the reference classifies pairs as one unit, classifier.h:236-240)."""
+    (the reference classifies pairs as one unit, classifier.h:236-240).
+
+    The per-kmer hit information comes in one of two shapes:
+      * full: ``taxa`` (R, W) + ``hit_mask`` (R, W) positional matrices;
+      * compact: ``run_vals``/``run_lens`` (R, MAXR) device-side
+        run-length encoding of the hit-taxa stream (the only thing the
+        Kraken output needs) — ~4x fewer bytes fetched from the device.
+    ``hit_taxa(i)`` yields the per-read hit stream in either mode."""
 
     names: List[bytes]
     seqs: List[bytes]
     quals: List[Optional[bytes]]
     lengths: np.ndarray  # (R,) mate-1 lengths
     taxon: np.ndarray  # (R,) original taxids, 0 = unclassified
-    taxa: np.ndarray  # (R, W) original taxids of DB hits (per kmer pos)
-    hit_mask: np.ndarray  # (R, W)
+    taxa: Optional[np.ndarray]  # (R, W) original taxids of DB hits, or None
+    hit_mask: Optional[np.ndarray]  # (R, W), or None (compact mode)
     n_missing: np.ndarray  # (R,) total missing (both mates)
     n_kmers: np.ndarray  # (R,) total valid kmers (both mates)
     n_kmers1: Optional[np.ndarray] = None  # (R,) mate-1 valid kmers
+    # compact (run-length) hit representation, None in full mode
+    run_vals: Optional[np.ndarray] = None  # (R, MAXR) run taxids
+    run_lens: Optional[np.ndarray] = None  # (R, MAXR) run lengths
+    n_runs: Optional[np.ndarray] = None  # (R,) true run counts (<= MAXR here)
     # mate-2 fields, None for single-end
     lengths2: Optional[np.ndarray] = None
     seqs2: Optional[List[bytes]] = None
@@ -58,6 +69,17 @@ class BatchResult:
     @property
     def paired(self) -> bool:
         return self.lengths2 is not None
+
+    @property
+    def compact(self) -> bool:
+        return self.run_vals is not None
+
+    def hit_taxa(self, i: int) -> np.ndarray:
+        """Hit-taxa stream of read i (taxids of DB hits in kmer order)."""
+        if self.run_vals is not None:
+            r = int(self.n_runs[i])
+            return np.repeat(self.run_vals[i, :r], self.run_lens[i, :r])
+        return self.taxa[i][self.hit_mask[i]]
 
 
 class Classifier:
@@ -96,19 +118,32 @@ class Classifier:
         self._arrays = table.device_arrays(packed)
         self._tax = tree.device_arrays()
         self._step_cache = {}
+        # compact-output run capacity: reads with more distinct hit runs
+        # than this fall back to fetching the full positional matrix
+        import os as _os
+
+        self.max_runs = int(_os.environ.get("BONSAI_TPU_MAX_RUNS", 16))
 
     # -- jitted device step ----------------------------------------------
     def _make_step(self, paired: bool = False):
-        """One packed (R, 4 + ceil(W/32) + W) uint32 output per batch —
-        taxon | n_missing | n_kmers | n_kmers_mate1 | hit-bitmask words |
-        per-kmer taxa — so the host needs a single device fetch (the
-        reference's analog is one contiguous sam buffer per read,
-        classifier.h:221).
+        """Two outputs per batch, both device-resident until fetched:
+
+        * compact (R, 5 + 2*MAXR) uint32 — taxon | n_missing | n_kmers |
+          n_kmers_mate1 | n_runs | run taxids | run lengths.  The Kraken
+          output only needs the RUN-LENGTH-ENCODED hit-taxa stream, so the
+          RLE happens on device and the host fetches ~4x fewer bytes (the
+          host<->device pipe, not the chip, bounds end-to-end throughput).
+        * full (R, 4 + ceil(W/32) + W) uint32 — the positional
+          taxon | counters | hit-bitmask | per-kmer-taxa matrix, fetched
+          only for batches where some read has more than MAXR runs (the
+          reference's analog of one contiguous sam buffer per read,
+          classifier.h:221).
 
         paired=True treats adjacent row pairs (2i, 2i+1) as mates of one
         read pair: hits of both mates merge into one resolve_tree call and
         one output row of width W = 2P (classify_seq's paired branch,
-        classifier.h:236-240)."""
+        classifier.h:236-240); hit runs spanning the mate boundary merge,
+        as in the reference's single taxa vector."""
         import jax
         import jax.numpy as jnp
 
@@ -117,8 +152,8 @@ class Classifier:
         tax = self._tax
 
         inline = self._arrays[2]
+        maxr = self.max_runs
 
-        @jax.jit
         def step(codes, lengths, slots, vals):
             em = enc.emissions(codes, lengths)
             kmers, valid = em.values, em.mask
@@ -163,14 +198,84 @@ class Classifier:
                 ],
                 axis=1,
             )
-            return jnp.concatenate([head, hit_words, taxa], axis=1)
+            full = jnp.concatenate([head, hit_words, taxa], axis=1)
 
-        return step
+            # device-side RLE of the hit-taxa stream (missing positions are
+            # skipped, runs break on taxid change — append_taxa_runs,
+            # classifier.h:45-61).  "value of the previous hit position"
+            # comes from a log-depth associative last-valid scan: no
+            # gathers, a handful of VPU selects per position.
+            from jax import lax
 
-    def _step(self, paired: bool = False):
-        key = "fn_paired" if paired else "fn"
+            def last_valid(a, b):
+                av, ah = a
+                bv, bh = b
+                return jnp.where(bh, bv, av), ah | bh
+
+            lastv, lasth = lax.associative_scan(
+                (lambda a, b: last_valid(a, b)), (taxa, hit), axis=1
+            )
+            R2 = hit.shape[0]
+            z32 = jnp.zeros((R2, 1), dtype=taxa.dtype)
+            zb = jnp.zeros((R2, 1), dtype=bool)
+            prev_v = jnp.concatenate([z32, lastv[:, :-1]], axis=1)
+            prev_h = jnp.concatenate([zb, lasth[:, :-1]], axis=1)
+            is_new = hit & (~prev_h | (taxa != prev_v))
+            run_id = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1
+            n_runs = (
+                jnp.sum(is_new, axis=1).astype(jnp.uint32)
+                if hit.shape[1]
+                else jnp.zeros((R2,), dtype=jnp.uint32)
+            )
+            rid = jnp.where(hit, run_id, maxr)
+            onehot = rid[:, :, None] == jnp.arange(maxr, dtype=jnp.int32)
+            run_lens = jnp.sum(onehot, axis=1, dtype=jnp.uint32)
+            run_vals = jnp.sum(
+                jnp.where(onehot & is_new[:, :, None], taxa[:, :, None], 0),
+                axis=1,
+                dtype=jnp.uint32,
+            )
+            compact = jnp.concatenate(
+                [head, n_runs[:, None], run_vals, run_lens], axis=1
+            )
+            return compact, full
+
+        return jax.jit(step)
+
+    def _make_step_packed(self, paired: bool = False):
+        """Same step, but reads arrive as 2-bit-packed u32 words plus an
+        N-bitmask — 4.5x fewer bytes over the host->device link (the
+        design rule: minimize host<->device transfers).  Unpacking is a
+        few VPU shifts fused into the encode."""
+        import jax
+        import jax.numpy as jnp
+
+        body = self._step(paired)
+
+        def step_packed(pcodes, nmask, lengths, slots, vals):
+            B, L16 = pcodes.shape
+            shifts = jnp.arange(16, dtype=jnp.uint32) * 2
+            c = (
+                ((pcodes[:, :, None] >> shifts) & jnp.uint32(3))
+                .astype(jnp.int8)
+                .reshape(B, L16 * 16)
+            )
+            mshift = jnp.arange(32, dtype=jnp.uint32)
+            nm = (
+                ((nmask[:, :, None] >> mshift) & jnp.uint32(1)) != 0
+            ).reshape(B, L16 * 16)
+            codes = jnp.where(nm, jnp.int8(-1), c)
+            return body(codes, lengths, slots, vals)
+
+        return jax.jit(step_packed)
+
+    def _step(self, paired: bool = False, packed: bool = False):
+        key = ("fn", paired, packed)
         if key not in self._step_cache:
-            self._step_cache[key] = self._make_step(paired)
+            self._step_cache[key] = (
+                self._make_step_packed(paired) if packed
+                else self._make_step(paired)
+            )
         return self._step_cache[key]
 
     # -- per-batch --------------------------------------------------------
@@ -184,88 +289,148 @@ class Classifier:
         return b
 
     def classify_batch(
-        self, batch: fastx.ReadBatch, paired: bool = False
+        self, batch: fastx.ReadBatch, paired: bool = False,
+        full: bool = False,
     ) -> BatchResult:
+        """full=True forces the positional taxa/hit_mask fetch (tests and
+        tools that need per-position hits; the CLI path uses the compact
+        run-length fetch)."""
         return self._finish_batch(
-            batch, self._dispatch_batch(batch, paired), paired
+            batch, self._dispatch_batch(batch, paired), paired, force_full=full
         )
 
+    @staticmethod
+    def pack_codes(codes: np.ndarray):
+        """(B, L) int8 codes (L % 32 == 0) -> (packed (B, L/16) u32 of
+        2-bit codes, nmask (B, L/32) u32 ambiguity bits)."""
+        B, L = codes.shape
+        v = np.where(codes < 0, 0, codes).astype(np.uint32).reshape(B, L // 16, 16)
+        packed = np.bitwise_or.reduce(
+            v << (np.arange(16, dtype=np.uint32) * 2), axis=-1
+        )
+        nb = (codes < 0).astype(np.uint32).reshape(B, L // 32, 32)
+        nmask = np.bitwise_or.reduce(
+            nb << np.arange(32, dtype=np.uint32), axis=-1
+        )
+        return packed, nmask
+
     def _dispatch_batch(self, batch: fastx.ReadBatch, paired: bool = False):
-        """Async half of classify_batch: returns the on-device result
-        (dispatch only; materialize with _finish_batch).  Used for batch
-        pipelining in process_dataset."""
+        """Async half of classify_batch: returns (compact, full, L_padded)
+        with the device arrays still in flight (materialize with
+        _finish_batch).  Used for batch pipelining in process_dataset.
+
+        Reads cross the host->device link 2-bit packed (16 codes + their
+        32 N-mask bits per pair of u32 words) — 4.5x smaller than int8
+        codes; the batch dim pads to pow2 buckets and the length dim to a
+        multiple of 32 so compiled steps are reused."""
         import jax.numpy as jnp
 
-        step = self._step(paired)
+        step = self._step(paired, packed=True)
         n = len(batch.names)
         Bp = self._bucket_batch(n)
+        L = batch.codes.shape[1]
+        Lp = (L + 31) & ~31
         codes, lengths = batch.codes, batch.lengths
-        if Bp != n:
-            codes = np.full((Bp, codes.shape[1]), -1, dtype=np.int8)
-            codes[:n] = batch.codes
+        if Bp != n or Lp != L:
+            codes = np.full((Bp, Lp), -1, dtype=np.int8)
+            codes[:n, :L] = batch.codes
             lengths = np.zeros(Bp, dtype=np.int32)
             lengths[:n] = batch.lengths
-        return step(
-            jnp.asarray(codes),
+        pcodes, nmask = self.pack_codes(codes)
+        compact, full = step(
+            jnp.asarray(pcodes),
+            jnp.asarray(nmask),
             jnp.asarray(lengths),
             self._arrays[0],
             self._arrays[1],
         )
+        return compact, full, Lp
 
     def _finish_batch(
-        self, batch: fastx.ReadBatch, out, paired: bool = False
+        self, batch: fastx.ReadBatch, out, paired: bool = False,
+        force_full: bool = False,
     ) -> BatchResult:
         n = len(batch.names)
         R = n // 2 if paired else n
-        # fetch the whole padded matrix in one transfer; trim on host (a
-        # device-side out[:n] would compile a fresh slice op per batch size)
-        out = np.asarray(out)[:R]
-        P = batch.codes.shape[1] - self.sp.c + 1
-        P = max(P, 0)
-        W = 2 * P if paired else P
-        hb = (W + 31) // 32
-        taxon = out[:, 0]
-        n_missing = out[:, 1].astype(np.int32)
-        n_kmers = out[:, 2].astype(np.int32)
-        n_kmers1 = out[:, 3].astype(np.int32)
-        hit_words = out[:, 4 : 4 + hb]
-        taxa = out[:, 4 + hb :]
-        if W:
-            shifts = np.arange(32, dtype=np.uint32)
-            hit = (
-                (hit_words[:, :, None] >> shifts) & np.uint32(1)
-            ).astype(bool).reshape(R, hb * 32)[:, :W]
+        compact_dev, full_dev, Lp = out
+        # fetch the (much smaller) compact matrix in one transfer; trim on
+        # host (a device-side out[:n] would compile a fresh slice op per
+        # batch size).  The full positional matrix stays on device unless
+        # some read overflows the run capacity.
+        maxr = self.max_runs
+        cm = np.asarray(compact_dev)[:R]
+        taxon = cm[:, 0]
+        n_missing = cm[:, 1].astype(np.int32)
+        n_kmers = cm[:, 2].astype(np.int32)
+        n_kmers1 = cm[:, 3].astype(np.int32)
+        n_runs = cm[:, 4]
+        taxa = hit = run_vals = run_lens = None
+        if force_full or (n_runs.size and int(n_runs.max()) > maxr):
+            # rare: some read has > maxr runs; fetch the positional matrix
+            P = Lp - self.sp.c + 1
+            P = max(P, 0)
+            W = 2 * P if paired else P
+            hb = (W + 31) // 32
+            fm = np.asarray(full_dev)[:R]
+            hit_words = fm[:, 4 : 4 + hb]
+            taxa = fm[:, 4 + hb :]
+            if W:
+                shifts = np.arange(32, dtype=np.uint32)
+                hit = (
+                    (hit_words[:, :, None] >> shifts) & np.uint32(1)
+                ).astype(bool).reshape(R, hb * 32)[:, :W]
+            else:
+                hit = np.zeros((R, 0), dtype=bool)
+            # trim the length-padding columns (always miss positions) so
+            # positional results match the caller's un-padded read width
+            Pt = max(batch.codes.shape[1] - self.sp.c + 1, 0)
+            Wt = 2 * Pt if paired else Pt
+            if Wt < W:
+                if paired:
+                    # padded layout is [mate1 P | mate2 P]; keep Pt of each
+                    taxa = np.concatenate(
+                        [taxa[:, :Pt], taxa[:, P : P + Pt]], axis=1
+                    )
+                    hit = np.concatenate(
+                        [hit[:, :Pt], hit[:, P : P + Pt]], axis=1
+                    )
+                else:
+                    taxa = taxa[:, :Wt]
+                    hit = hit[:, :Wt]
         else:
-            hit = np.zeros((R, 0), dtype=bool)
+            run_vals = cm[:, 5 : 5 + maxr]
+            run_lens = cm[:, 5 + maxr : 5 + 2 * maxr]
+            n_runs = n_runs.astype(np.int32)
         self.n_classified += int((taxon != 0).sum())
         self.n_unclassified += int((taxon == 0).sum())
-        if paired:
-            return BatchResult(
-                names=batch.names[0::2],
-                seqs=batch.seqs[0::2],
-                quals=batch.quals[0::2] if batch.quals else None,
-                lengths=batch.lengths[0::2],
-                taxon=taxon,
-                taxa=taxa,
-                hit_mask=hit,
-                n_missing=n_missing,
-                n_kmers=n_kmers,
-                n_kmers1=n_kmers1,
-                lengths2=batch.lengths[1::2],
-                seqs2=batch.seqs[1::2],
-                quals2=batch.quals[1::2] if batch.quals else None,
-            )
-        return BatchResult(
-            names=batch.names,
-            seqs=batch.seqs,
-            quals=batch.quals,
-            lengths=batch.lengths,
+        common = dict(
             taxon=taxon,
             taxa=taxa,
             hit_mask=hit,
             n_missing=n_missing,
             n_kmers=n_kmers,
             n_kmers1=n_kmers1,
+            run_vals=run_vals,
+            run_lens=run_lens,
+            n_runs=None if run_vals is None else n_runs,
+        )
+        if paired:
+            return BatchResult(
+                names=batch.names[0::2],
+                seqs=batch.seqs[0::2],
+                quals=batch.quals[0::2] if batch.quals else None,
+                lengths=batch.lengths[0::2],
+                lengths2=batch.lengths[1::2],
+                seqs2=batch.seqs[1::2],
+                quals2=batch.quals[1::2] if batch.quals else None,
+                **common,
+            )
+        return BatchResult(
+            names=batch.names,
+            seqs=batch.seqs,
+            quals=batch.quals,
+            lengths=batch.lengths,
+            **common,
         )
 
     # -- full dataset ------------------------------------------------------

@@ -123,11 +123,15 @@ class ReadBatch:
 
 
 def _bucket_len(n: int, min_len: int = 64) -> int:
-    """Round up to the next length bucket (1.25x geometric-ish steps)."""
+    """Round up to the next length bucket (1.25x geometric-ish steps).
+
+    Buckets are multiples of 32 so the packed 2-bit upload (16 codes per
+    u32 word + 32 N-mask bits per u32, classify/pipeline.py) tiles
+    exactly."""
     L = min_len
     while L < n:
         L += max(L // 4, 32)
-    return L
+    return (L + 31) & ~31
 
 
 def _native_ok(path: str) -> bool:

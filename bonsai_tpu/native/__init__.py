@@ -146,6 +146,27 @@ def _declare(lib):
         c.c_int64,   # cap
     ]
 
+    lib.btpu_format_kraken_runs.restype = c.c_int64
+    lib.btpu_format_kraken_runs.argtypes = [
+        c.c_int64,   # n (rows = reads or merged mate pairs)
+        c.c_void_p,  # names arena
+        c.c_void_p,  # name_offs
+        c.c_void_p,  # lengths (mate 1)
+        c.c_void_p,  # lengths2 (mate 2, NULL for single-end)
+        c.c_void_p,  # taxon
+        c.c_void_p,  # run_vals (n x maxr)
+        c.c_void_p,  # run_lens (n x maxr)
+        c.c_void_p,  # n_runs
+        c.c_int64,   # maxr
+        c.c_void_p,  # n_missing
+        c.c_void_p,  # n_kmers (total valid)
+        c.c_void_p,  # n_kmers1 (mate-1 valid)
+        c.c_int32,   # comb_size
+        c.c_int32,   # emit_all
+        c.c_void_p,  # out
+        c.c_int64,   # cap
+    ]
+
 
 def available() -> bool:
     return get_lib() is not None

@@ -176,7 +176,7 @@ def test_classify_detail_and_output(db, tree):
     )
     res = clf.classify_batch(batch)
     for i, (taxa, missing) in enumerate(details):
-        got_taxa = res.taxa[i][res.hit_mask[i]].tolist()
+        got_taxa = res.hit_taxa(i).tolist()
         assert got_taxa == taxa, f"read {i} hit taxa"
         assert int(res.n_missing[i]) == missing
     text = out_mod.format_batch(res, K, emit_all=True)
@@ -265,3 +265,73 @@ def test_phase1_taxdepth_and_minimized(tree, name_map, tmp_path):
     p2 = minimized_map(GENOMES, p1, tree, name_map, sp)
     np.testing.assert_array_equal(p2.keys_sorted, p1.keys_sorted)
     np.testing.assert_array_equal(p2.vals_sorted, TDtax(p1.vals_sorted))
+
+
+def _make_batch(reads, clf):
+    maxlen = max(len(r) for r in reads)
+    codes = np.full((len(reads), maxlen), -1, dtype=np.int8)
+    lengths = np.array([len(r) for r in reads], dtype=np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = clf.lut[np.frombuffer(r, dtype=np.uint8)]
+    return fastx.ReadBatch(
+        names=[f"r{i}".encode() for i in range(len(reads))],
+        seqs=reads, codes=codes, lengths=lengths, quals=[None] * len(reads),
+    )
+
+
+def test_compact_output_matches_full(db, tree):
+    """The device-RLE compact fetch must format byte-identically to the
+    full positional-matrix fetch, through both the native and python
+    formatters."""
+    rng = np.random.default_rng(11)
+    reads = simulate_reads(rng, 96)
+    clf = Classifier(db, tree)
+    batch = _make_batch(reads, clf)
+    res_c = clf.classify_batch(batch)
+    res_f = clf.classify_batch(batch, full=True)
+    assert res_f.taxa is not None and res_f.hit_mask is not None
+    np.testing.assert_array_equal(res_c.taxon, res_f.taxon)
+    np.testing.assert_array_equal(res_c.n_missing, res_f.n_missing)
+    np.testing.assert_array_equal(res_c.n_kmers, res_f.n_kmers)
+    for i in range(len(reads)):
+        np.testing.assert_array_equal(res_c.hit_taxa(i), res_f.hit_taxa(i))
+    text_f = out_mod.format_batch(res_f, K, emit_all=True)
+    text_c = out_mod.format_batch(res_c, K, emit_all=True)
+    assert text_c == text_f
+    if res_c.compact:
+        from bonsai_tpu.classify.output import _format_batch_python
+
+        assert _format_batch_python(res_c, K, emit_all=True) == text_f
+
+
+def test_compact_overflow_falls_back(db, tree):
+    """Reads with more hit runs than the device capacity transparently use
+    the full positional fetch with identical output."""
+    rng = np.random.default_rng(13)
+    reads = simulate_reads(rng, 48)
+    ref = Classifier(db, tree)
+    batch = _make_batch(reads, ref)
+    text_ref = out_mod.format_batch(
+        ref.classify_batch(batch, full=True), K, emit_all=True
+    )
+    tiny = Classifier(db, tree)
+    tiny.max_runs = 1  # force overflow for any read with >1 run
+    res = tiny.classify_batch(batch)
+    assert out_mod.format_batch(res, K, emit_all=True) == text_ref
+
+
+def test_compact_output_paired(db, tree):
+    """Compact RLE over merged mate pairs (runs can span the mate
+    boundary) matches the full fetch."""
+    rng = np.random.default_rng(17)
+    reads = simulate_reads(rng, 32)  # 16 pairs, interleaved
+    clf = Classifier(db, tree)
+    batch = _make_batch(reads, clf)
+    res_c = clf.classify_batch(batch, paired=True)
+    res_f = clf.classify_batch(batch, paired=True, full=True)
+    np.testing.assert_array_equal(res_c.taxon, res_f.taxon)
+    for i in range(len(reads) // 2):
+        np.testing.assert_array_equal(res_c.hit_taxa(i), res_f.hit_taxa(i))
+    assert out_mod.format_batch(res_c, K, emit_all=True) == out_mod.format_batch(
+        res_f, K, emit_all=True
+    )

@@ -64,7 +64,7 @@ def test_sharded_matches_single(setup, dp, dbs):
         names=[b""] * len(lengths), seqs=[], codes=codes, lengths=lengths,
         quals=None,
     )
-    ref = single.classify_batch(batch)
+    ref = single.classify_batch(batch, full=True)
 
     mesh = make_mesh({"dp": dp, "db": dbs})
     sc = ShardedClassifier(db, tree, mesh)
