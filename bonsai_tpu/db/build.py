@@ -99,7 +99,7 @@ def genome_kmer_set(
             pieces.extend(_contig_sets(enc, seq, lut, sp, block, use_device))
     if not pieces:
         return np.zeros(0, dtype=np.uint64)
-    return np.unique(np.concatenate(pieces))
+    return unique_u64(np.concatenate(pieces))
 
 
 def _native_kmer_fn(sp, enc, input_type, use_device):
@@ -171,6 +171,168 @@ def _contig_sets(enc, seq, lut, sp, block, use_device):
 
 # -- LCA segment-fold ---------------------------------------------------------
 
+def _native_lib():
+    from ..native import get_lib
+
+    return get_lib()
+
+
+def _sort_pairs_by_key(keys: np.ndarray, taxa: np.ndarray):
+    """(keys, taxa) sorted by key — native LSD radix (sortops.cpp) when
+    available, np.argsort otherwise.  LCA folding is order-independent
+    within a key group, so stability is not required."""
+    lib = _native_lib()
+    if lib is not None and hasattr(lib, "btpu_radix_sort_kv"):
+        k = np.array(keys, dtype=np.uint64, copy=True)
+        t = np.array(taxa, dtype=np.uint32, copy=True)
+        lib.btpu_radix_sort_kv(k.ctypes.data, t.ctypes.data, k.size)
+        return k, t
+    order = np.argsort(keys, kind="stable")
+    return keys[order], taxa[order].astype(np.uint32)
+
+
+def unique_u64(arr: np.ndarray) -> np.ndarray:
+    """Sorted distinct values of a u64 array (native radix sort-dedup when
+    available; np.unique otherwise)."""
+    lib = _native_lib()
+    if lib is not None and hasattr(lib, "btpu_sort_dedup_u64") and arr.size:
+        a = np.array(arr, dtype=np.uint64, copy=True)
+        m = lib.btpu_sort_dedup_u64(a.ctypes.data, a.size)
+        return a[:m].copy()
+    return np.unique(np.asarray(arr, dtype=np.uint64))
+
+
+def _fold_stats_to_taxa(tree: TaxTree, tmin, tmax, n_miss, n_nz, mmin, mmax):
+    """Group stats -> folded taxids (the tail of lca_fold_pairs, shared
+    with the native merge path).  tmin/tmax are Euler tin extrema of the
+    present members (BIG / -2 when none)."""
+    n = tree.tin.shape[0]
+    node_of_tin = np.zeros(int(tree.tin.max()) + 2, dtype=np.int32)
+    node_of_tin[tree.tin[1:]] = np.arange(1, n, dtype=np.int32)
+    has_pres = tmax >= 0
+    a = node_of_tin[np.where(has_pres, tmin, 0)]
+    b = node_of_tin[np.where(has_pres, tmax, 0)]
+    dom = np.unique(np.concatenate([np.unique(a), np.unique(b)]))
+    if dom.size <= 1024:
+        ai = np.searchsorted(dom, a)
+        bi = np.searchsorted(dom, b)
+        la, lb = np.meshgrid(dom, dom, indexing="ij")
+        lca_tab = tree._lca_compact(
+            la.ravel().astype(np.int32), lb.ravel().astype(np.int32)
+        ).reshape(dom.size, dom.size)
+        r = lca_tab[ai, bi]
+    else:
+        r = tree._lca_compact(a, b)
+    out = tree.original(r).astype(np.uint32)
+    out = np.where(has_pres & (r == 0), np.uint32(1), out)  # disjoint roots
+    all_same_missing = (~has_pres) & (n_miss > 0) & (mmin == mmax)
+    out = np.where(
+        (n_miss > 0) & ~all_same_missing, np.uint32(0xFFFFFFFF), out
+    )
+    out = np.where(all_same_missing, mmin, out)
+    out = np.where(n_nz == 0, np.uint32(0), out)
+    return out
+
+
+def lca_fold_runs(acc_keys: np.ndarray, acc_taxa: np.ndarray,
+                  runs, tree: TaxTree, want_counts: bool = False):
+    """LCA-fold of sorted-unique runs without materializing + sorting the
+    concatenation: a native k-way merge (sortops.cpp
+    btpu_merge_fold_stats) emits per-unique-key group stats in one linear
+    pass; the host maps the (tiny-domain) tin extrema through an LCA
+    table.  Semantics identical to lca_fold_pairs on the concatenation.
+
+    acc_keys/acc_taxa: the accumulated fold state (sorted unique, may be
+    empty).  runs: [(kset_sorted_unique u64, taxid int)].  Returns
+    (keys, taxa[, counts]) with counts = group multiplicity (the ftct
+    genome count) when want_counts."""
+    import ctypes as C
+
+    lib = _native_lib()
+    if lib is None or not hasattr(lib, "btpu_merge_fold_stats"):
+        keys = np.concatenate(
+            [acc_keys] + [k for k, _ in runs]
+        ) if runs or acc_keys.size else np.zeros(0, np.uint64)
+        taxa = np.concatenate(
+            [acc_taxa]
+            + [np.full(len(k), t, dtype=np.uint32) for k, t in runs]
+        ) if runs or acc_keys.size else np.zeros(0, np.uint32)
+        uk, ut = lca_fold_pairs(keys, taxa, tree)
+        if not want_counts:
+            return uk, ut
+        if keys.size:
+            cu, counts = np.unique(keys, return_counts=True)
+        else:
+            cu, counts = keys, np.zeros(0, np.int64)
+        return uk, ut, counts
+    n = tree.tin.shape[0]
+    BIG = np.int32(2 * n + 4)
+    key_arrs = []
+    tin_arrs = []   # per-element tins or None
+    tval_arrs = []  # per-element taxa or None
+    tin_consts = []
+    tval_consts = []
+    if acc_keys.size:
+        t = np.ascontiguousarray(acc_taxa, dtype=np.uint32)
+        ut = np.unique(t)
+        cu = tree.compact(ut, missing_ok=True)
+        tin_u = np.where(cu != 0, tree.tin[cu], BIG).astype(np.int32)
+        tins = np.ascontiguousarray(tin_u[np.searchsorted(ut, t)])
+        key_arrs.append(np.ascontiguousarray(acc_keys, dtype=np.uint64))
+        tin_arrs.append(tins)
+        tval_arrs.append(t)
+        tin_consts.append(0)
+        tval_consts.append(0)
+    for kset, taxid in runs:
+        if not len(kset):
+            continue
+        cix = int(tree.compact(
+            np.array([taxid], dtype=np.uint32), missing_ok=True
+        )[0])
+        tin_c = int(tree.tin[cix]) if cix != 0 else int(BIG)
+        key_arrs.append(np.ascontiguousarray(kset, dtype=np.uint64))
+        tin_arrs.append(None)
+        tval_arrs.append(None)
+        tin_consts.append(tin_c)
+        tval_consts.append(int(taxid) & 0xFFFFFFFF)
+    G = len(key_arrs)
+    if G == 0:
+        empty = (np.zeros(0, np.uint64), np.zeros(0, np.uint32))
+        return empty + ((np.zeros(0, np.int64),) if want_counts else ())
+    N = sum(a.size for a in key_arrs)
+    out_keys = np.empty(N, dtype=np.uint64)
+    tmin = np.empty(N, dtype=np.int32)
+    tmax = np.empty(N, dtype=np.int32)
+    nmiss = np.empty(N, dtype=np.uint32)
+    nnz = np.empty(N, dtype=np.uint32)
+    mmin = np.empty(N, dtype=np.uint32)
+    mmax = np.empty(N, dtype=np.uint32)
+    count = np.empty(N, dtype=np.uint32)
+    kp = (C.c_void_p * G)(*[a.ctypes.data for a in key_arrs])
+    lens = np.array([a.size for a in key_arrs], dtype=np.int64)
+    tp = (C.c_void_p * G)(
+        *[None if a is None else a.ctypes.data for a in tin_arrs]
+    )
+    vp = (C.c_void_p * G)(
+        *[None if a is None else a.ctypes.data for a in tval_arrs]
+    )
+    tic = np.array(tin_consts, dtype=np.int32)
+    tvc = np.array(tval_consts, dtype=np.uint32)
+    m = lib.btpu_merge_fold_stats(
+        G, kp, lens.ctypes.data, tp, tic.ctypes.data, vp, tvc.ctypes.data,
+        int(BIG), out_keys.ctypes.data, tmin.ctypes.data, tmax.ctypes.data,
+        nmiss.ctypes.data, nnz.ctypes.data, mmin.ctypes.data,
+        mmax.ctypes.data, count.ctypes.data,
+    )
+    out = _fold_stats_to_taxa(
+        tree, tmin[:m], tmax[:m], nmiss[:m], nnz[:m], mmin[:m], mmax[:m]
+    )
+    uk = out_keys[:m].copy()
+    if want_counts:
+        return uk, out.astype(np.uint32), count[:m].astype(np.int64)
+    return uk, out.astype(np.uint32)
+
+
 def lca_fold_pairs(keys: np.ndarray, taxa: np.ndarray, tree: TaxTree):
     """Reduce duplicate keys by LCA-folding their taxa.  Single pass:
     sort by key, then per-run set-LCA via the Euler-interval fact
@@ -183,9 +345,7 @@ def lca_fold_pairs(keys: np.ndarray, taxa: np.ndarray, tree: TaxTree):
     deterministic.  Returns sorted unique (keys, taxa)."""
     if keys.size == 0:
         return keys.astype(np.uint64), taxa.astype(np.uint32)
-    order = np.argsort(keys, kind="stable")
-    keys = keys[order]
-    t = taxa[order].astype(np.uint32)
+    keys, t = _sort_pairs_by_key(keys, taxa)
     first = np.empty(len(keys), dtype=bool)
     first[0] = True
     first[1:] = keys[1:] != keys[:-1]
@@ -211,7 +371,21 @@ def lca_fold_pairs(keys: np.ndarray, taxa: np.ndarray, tree: TaxTree):
     has_pres = tmax >= 0
     a = node_of_tin[np.where(has_pres, tmin, 0)]
     b = node_of_tin[np.where(has_pres, tmax, 0)]
-    r = tree._lca_compact(a, b)
+    # (a, b) take at most |ut|^2 distinct values (tmin/tmax come from the
+    # tiny per-taxon tin set): binary-lift LCA only the distinct pairs and
+    # gather, instead of lifting all ~|uk| pairs (the build's former
+    # single biggest cost)
+    dom = np.unique(np.concatenate([np.unique(a), np.unique(b)]))
+    if dom.size <= 1024:
+        ai = np.searchsorted(dom, a)
+        bi = np.searchsorted(dom, b)
+        la, lb = np.meshgrid(dom, dom, indexing="ij")
+        lca_tab = tree._lca_compact(
+            la.ravel().astype(np.int32), lb.ravel().astype(np.int32)
+        ).reshape(dom.size, dom.size)
+        r = lca_tab[ai, bi]
+    else:
+        r = tree._lca_compact(a, b)
     out = tree.original(r).astype(np.uint32)
     out = np.where(has_pres & (r == 0), np.uint32(1), out)  # disjoint roots
     clean = bool(((cu != 0) | (ut == 0)).all())
@@ -292,7 +466,7 @@ class IncrementalLCABuilder:
 
     def add_genome(self, path: str, taxid: int, kset: np.ndarray):
         self._buf_k.append(kset)
-        self._buf_t.append(np.full(kset.size, taxid, dtype=np.uint32))
+        self._buf_t.append(int(taxid))
         self.done.append(path)
         self._since_fold += 1
         if self._since_fold >= self.fold_every:
@@ -303,9 +477,10 @@ class IncrementalLCABuilder:
     def fold(self):
         if not self._buf_k:
             return
-        keys = np.concatenate([self.keys] + self._buf_k)
-        taxa = np.concatenate([self.taxa] + self._buf_t)
-        self.keys, self.taxa = lca_fold_pairs(keys, taxa, self.tree)
+        self.keys, self.taxa = lca_fold_runs(
+            self.keys, self.taxa, list(zip(self._buf_k, self._buf_t)),
+            self.tree,
+        )
         self._buf_k, self._buf_t = [], []
         self._since_fold = 0
 
@@ -367,13 +542,10 @@ def taxdepth_map(
         name_map = parse_nameid_map(name_map)
     gs = _gather_genomes(paths, sp, name_map, canonicalize, "lex", input_type,
                          use_device=use_device)
-    keys = np.concatenate([k for _, k in gs]) if gs else np.zeros(0, np.uint64)
-    taxa = (
-        np.concatenate([np.full(len(k), t, dtype=np.uint32) for t, k in gs])
-        if gs
-        else np.zeros(0, np.uint32)
+    k, v = lca_fold_runs(
+        np.zeros(0, np.uint64), np.zeros(0, np.uint32),
+        [(kset, t) for t, kset in gs], tree,
     )
-    k, v = lca_fold_pairs(keys, taxa, tree)
     depths = tree.depth_of(v)
     packed = np.where(
         v == np.uint32(TAX_T_MAX), np.uint64(1), TDencode(depths, v)
@@ -396,19 +568,11 @@ def ftct_map(
         name_map = parse_nameid_map(name_map)
     gs = _gather_genomes(paths, sp, name_map, canonicalize, "lex", input_type,
                          use_device=use_device)
-    keys = np.concatenate([k for _, k in gs]) if gs else np.zeros(0, np.uint64)
-    taxa = (
-        np.concatenate([np.full(len(k), t, dtype=np.uint32) for t, k in gs])
-        if gs
-        else np.zeros(0, np.uint32)
+    # counts: number of genomes containing the kmer (group multiplicity)
+    k, v, counts = lca_fold_runs(
+        np.zeros(0, np.uint64), np.zeros(0, np.uint32),
+        [(kset, t) for t, kset in gs], tree, want_counts=True,
     )
-    # counts: number of genomes containing the kmer
-    if keys.size:
-        uk, counts = np.unique(keys, return_counts=True)
-    else:
-        uk, counts = keys, np.zeros(0, np.int64)
-    k, v = lca_fold_pairs(keys, taxa, tree)
-    assert np.array_equal(k, uk)
     packed = FMencode(np.minimum(counts, TAX_T_MAX), v)
     return KmerTable(k, packed.astype(np.uint64))
 
@@ -431,7 +595,7 @@ def minimized_map(
     smap = ScoreMap(phase1)
     gs = _gather_genomes(paths, sp, name_map, canonicalize, "hash", input_type,
                          score_map=smap, use_device=use_device)
-    keys = np.unique(np.concatenate([k for _, k in gs])) if gs else np.zeros(0, np.uint64)
+    keys = unique_u64(np.concatenate([k for _, k in gs])) if gs else np.zeros(0, np.uint64)
     vals, found = phase1.probe_np(keys)
     # All-N windows emit the canonical(OVERFLOW) == 0 sentinel, which phase 1
     # (unwindowed, N seeds dropped) never contains; such unscorable keys are

@@ -50,6 +50,18 @@ SLOTS = 4
 BSALT = np.uint64(0xA24BAED4963EE407)
 MAX_LOAD = 0.87
 
+
+def _sorted_u64(a: np.ndarray) -> np.ndarray:
+    """Sort a u64 array (native LSD radix when available)."""
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "btpu_radix_sort_u64") and a.size:
+        a = np.ascontiguousarray(a, dtype=np.uint64)
+        lib.btpu_radix_sort_u64(a.ctypes.data, a.size)
+        return a
+    return np.sort(a)
+
 _OCC = np.uint64(1) << np.uint64(63)
 _CHOICE = np.uint64(1) << np.uint64(62)
 
@@ -106,6 +118,10 @@ class KmerTable:
         self.lgnb = int(np.log2(nb))
         self.qbits = 64 - self.lgnb
         self.vbits = max(self.lgnb - 2, 0)
+        if n:
+            nat = self._try_build_native(nb)
+            if nat is not None:
+                return nat
         owner = np.full(nb * SLOTS, -1, dtype=np.int64)
         choice = np.zeros(nb * SLOTS, dtype=np.uint8)
         if n == 0:
@@ -125,8 +141,10 @@ class KmerTable:
                 return idx
             # radix sort of packed (bucket, idx) beats argsort+searchsorted;
             # low-32 idx keeps stable tie order
-            pack = np.sort((b[idx].astype(np.uint64) << np.uint64(32))
-                           | idx.astype(np.uint64))
+            pack = (b[idx].astype(np.uint64) << np.uint64(32)) | idx.astype(
+                np.uint64
+            )
+            pack = _sorted_u64(pack)
             si = (pack & np.uint64(0xFFFFFFFF)).astype(np.int64)
             sb = (pack >> np.uint64(32)).astype(np.int64)
             pos = np.arange(sb.size, dtype=np.int64)
@@ -166,6 +184,31 @@ class KmerTable:
             keep[first] = False
             homeless = np.concatenate([homeless[keep], evicted[evicted >= 0]])
         if homeless.size:
+            return False
+        self.owner, self.choice = owner, choice
+        self._finalize()
+        return True
+
+    def _try_build_native(self, nb: int, max_walk: int = 500):
+        """Scalar C cuckoo insert with random-walk eviction
+        (native/src/sortops.cpp btpu_cuckoo_place) — the slot layout is a
+        derived structure, so any valid placement is equivalent; the C
+        path replaces ~15 full-array numpy passes per greedy round.
+        Returns True/False (placed / needs growth), or None when the
+        native library is unavailable."""
+        from ..native import get_lib
+
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "btpu_cuckoo_place"):
+            return None
+        owner = np.empty(nb * SLOTS, dtype=np.int64)
+        choice = np.zeros(nb * SLOTS, dtype=np.uint8)
+        h = np.ascontiguousarray(self._h, dtype=np.uint64)
+        rc = lib.btpu_cuckoo_place(
+            h.ctypes.data, self.n, nb, int(BSALT), max_walk,
+            owner.ctypes.data, choice.ctypes.data,
+        )
+        if rc != 0:
             return False
         self.owner, self.choice = owner, choice
         self._finalize()

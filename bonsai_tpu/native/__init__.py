@@ -146,6 +146,43 @@ def _declare(lib):
         c.c_int64,   # cap
     ]
 
+    lib.btpu_radix_sort_u64.restype = c.c_int32
+    lib.btpu_radix_sort_u64.argtypes = [c.c_void_p, c.c_int64]
+    lib.btpu_radix_sort_kv.restype = c.c_int32
+    lib.btpu_radix_sort_kv.argtypes = [c.c_void_p, c.c_void_p, c.c_int64]
+    lib.btpu_sort_dedup_u64.restype = c.c_int64
+    lib.btpu_sort_dedup_u64.argtypes = [c.c_void_p, c.c_int64]
+    lib.btpu_cuckoo_place.restype = c.c_int32
+    lib.btpu_cuckoo_place.argtypes = [
+        c.c_void_p,  # h (u64 hashes)
+        c.c_int64,   # n
+        c.c_int64,   # nb
+        c.c_uint64,  # bsalt
+        c.c_int32,   # max_walk
+        c.c_void_p,  # owner out
+        c.c_void_p,  # choice out
+    ]
+
+    lib.btpu_merge_fold_stats.restype = c.c_int64
+    lib.btpu_merge_fold_stats.argtypes = [
+        c.c_int32,   # n_runs
+        c.c_void_p,  # run_keys (ptr array)
+        c.c_void_p,  # run_lens (i64 array)
+        c.c_void_p,  # run_tins (ptr array, NULL entries -> const)
+        c.c_void_p,  # run_tin_const (i32 array)
+        c.c_void_p,  # run_tvals (ptr array, NULL entries -> const)
+        c.c_void_p,  # run_tval_const (u32 array)
+        c.c_int32,   # big sentinel
+        c.c_void_p,  # out_keys
+        c.c_void_p,  # out_tmin
+        c.c_void_p,  # out_tmax
+        c.c_void_p,  # out_nmiss
+        c.c_void_p,  # out_nnz
+        c.c_void_p,  # out_mmin
+        c.c_void_p,  # out_mmax
+        c.c_void_p,  # out_count
+    ]
+
     lib.btpu_format_kraken_runs.restype = c.c_int64
     lib.btpu_format_kraken_runs.argtypes = [
         c.c_int64,   # n (rows = reads or merged mate pairs)

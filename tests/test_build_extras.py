@@ -121,3 +121,44 @@ def test_mmap_taxonomy_bitmap(tmp_path):
     assert bm.kmer_row(int(keys[0]) + 1) is None
     bm2 = MMapTaxonomyBitmap.open(p, keys)
     assert bm2.kmer_row(int(keys[60]))[3]
+
+
+def test_fold_runs_matches_fold_pairs(small_tree):
+    """The native k-way merge fold must agree with the sort-based fold on
+    every semantic corner: plain LCA, zero taxids, taxids missing from the
+    tree (poisoning vs all-same-missing), and an accumulated state with
+    arbitrary folded values."""
+    from bonsai_tpu.db.build import lca_fold_pairs, lca_fold_runs
+
+    rng = np.random.default_rng(42)
+    # runs with overlapping keys; taxids include 0, in-tree, and missing
+    pool = rng.integers(0, 1 << 20, 4000, dtype=np.uint64)
+    runs = []
+    for taxid in (11, 12, 13, 2, 0, 777, 777, 888):  # 777/888 not in tree
+        ks = np.unique(rng.choice(pool, size=1500))
+        runs.append((ks, taxid))
+    # accumulated state: a prior fold (so taxa are arbitrary LCA values)
+    acc_k, acc_t = lca_fold_pairs(
+        np.concatenate([runs[0][0], runs[1][0]]),
+        np.concatenate([
+            np.full(runs[0][0].size, 11, np.uint32),
+            np.full(runs[1][0].size, 12, np.uint32),
+        ]),
+        small_tree,
+    )
+    rest = runs[2:]
+    keys = np.concatenate([acc_k] + [k for k, _ in rest])
+    taxa = np.concatenate(
+        [acc_t] + [np.full(k.size, t, np.uint32) for k, t in rest]
+    )
+    want_k, want_t = lca_fold_pairs(keys, taxa, small_tree)
+    got_k, got_t = lca_fold_runs(acc_k, acc_t, rest, small_tree)
+    np.testing.assert_array_equal(got_k, want_k)
+    np.testing.assert_array_equal(got_t, want_t)
+    # counts = group multiplicity
+    got_k2, got_t2, counts = lca_fold_runs(
+        acc_k, acc_t, rest, small_tree, want_counts=True
+    )
+    uk, want_counts = np.unique(keys, return_counts=True)
+    np.testing.assert_array_equal(got_k2, uk)
+    np.testing.assert_array_equal(counts, want_counts)

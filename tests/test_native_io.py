@@ -195,3 +195,52 @@ def test_native_canon_kmer_set_parity():
                 assert m >= 0
                 got = np.unique(out[:m])
                 assert np.array_equal(got, expect), (trial, k, canon)
+
+
+def test_native_sortops():
+    from bonsai_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(5)
+    for n in (0, 1, 2, 1000, 100000):
+        # skewed bit distribution exercises the skip-constant-digit path
+        keys = rng.integers(0, 1 << 40, size=n, dtype=np.uint64)
+        a = keys.copy()
+        if n:
+            lib.btpu_radix_sort_u64(a.ctypes.data, n)
+        np.testing.assert_array_equal(a, np.sort(keys))
+        # kv: values must travel with their keys
+        vals = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+        k2, v2 = keys.copy(), vals.copy()
+        if n:
+            lib.btpu_radix_sort_kv(k2.ctypes.data, v2.ctypes.data, n)
+        order = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(k2, keys[order])
+        # same multiset of (key, val) pairs
+        got = sorted(zip(k2.tolist(), v2.tolist()))
+        want = sorted(zip(keys.tolist(), vals.tolist()))
+        assert got == want
+        # dedup
+        d = np.concatenate([keys, keys[: n // 2]])
+        dd = d.copy()
+        m = lib.btpu_sort_dedup_u64(dd.ctypes.data, d.size) if d.size else 0
+        np.testing.assert_array_equal(dd[:m], np.unique(d))
+
+
+def test_unique_u64_and_sort_pairs_helpers():
+    from bonsai_tpu.db.build import unique_u64, _sort_pairs_by_key
+
+    rng = np.random.default_rng(6)
+    keys = rng.integers(0, 1 << 62, size=50000, dtype=np.uint64)
+    keys = np.concatenate([keys, keys[::3]])
+    np.testing.assert_array_equal(unique_u64(keys), np.unique(keys))
+    taxa = rng.integers(0, 1 << 20, size=keys.size, dtype=np.uint32)
+    k2, t2 = _sort_pairs_by_key(keys, taxa)
+    assert np.all(k2[1:] >= k2[:-1])
+    got = sorted(zip(k2.tolist(), t2.tolist()))
+    want = sorted(zip(keys.tolist(), taxa.tolist()))
+    assert got == want
