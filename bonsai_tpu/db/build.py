@@ -212,10 +212,17 @@ def _fold_stats_to_taxa(tree: TaxTree, tmin, tmax, n_miss, n_nz, mmin, mmax):
     has_pres = tmax >= 0
     a = node_of_tin[np.where(has_pres, tmin, 0)]
     b = node_of_tin[np.where(has_pres, tmax, 0)]
-    dom = np.unique(np.concatenate([np.unique(a), np.unique(b)]))
+    # the distinct (a, b) domain is tiny (bounded by the input taxa
+    # domain): presence-mask + rank table instead of np.unique /
+    # searchsorted over the full M-sized arrays
+    pres_mask = np.zeros(n, dtype=bool)
+    pres_mask[a] = True
+    pres_mask[b] = True
+    dom = np.flatnonzero(pres_mask)
     if dom.size <= 1024:
-        ai = np.searchsorted(dom, a)
-        bi = np.searchsorted(dom, b)
+        rank = np.cumsum(pres_mask, dtype=np.int32) - 1
+        ai = rank[a]
+        bi = rank[b]
         la, lb = np.meshgrid(dom, dom, indexing="ij")
         lca_tab = tree._lca_compact(
             la.ravel().astype(np.int32), lb.ravel().astype(np.int32)
@@ -223,14 +230,18 @@ def _fold_stats_to_taxa(tree: TaxTree, tmin, tmax, n_miss, n_nz, mmin, mmax):
         r = lca_tab[ai, bi]
     else:
         r = tree._lca_compact(a, b)
-    out = tree.original(r).astype(np.uint32)
+    orig = np.zeros(n, dtype=np.uint32)
+    orig[1:] = tree.tax_ids
+    out = orig[r]
     out = np.where(has_pres & (r == 0), np.uint32(1), out)  # disjoint roots
-    all_same_missing = (~has_pres) & (n_miss > 0) & (mmin == mmax)
-    out = np.where(
-        (n_miss > 0) & ~all_same_missing, np.uint32(0xFFFFFFFF), out
-    )
-    out = np.where(all_same_missing, mmin, out)
-    out = np.where(n_nz == 0, np.uint32(0), out)
+    if n_miss.any():
+        all_same_missing = (~has_pres) & (n_miss > 0) & (mmin == mmax)
+        out = np.where(
+            (n_miss > 0) & ~all_same_missing, np.uint32(0xFFFFFFFF), out
+        )
+        out = np.where(all_same_missing, mmin, out)
+    if not n_nz.all():
+        out = np.where(n_nz == 0, np.uint32(0), out)
     return out
 
 
@@ -375,10 +386,14 @@ def lca_fold_pairs(keys: np.ndarray, taxa: np.ndarray, tree: TaxTree):
     # tiny per-taxon tin set): binary-lift LCA only the distinct pairs and
     # gather, instead of lifting all ~|uk| pairs (the build's former
     # single biggest cost)
-    dom = np.unique(np.concatenate([np.unique(a), np.unique(b)]))
+    pres_mask = np.zeros(n, dtype=bool)
+    pres_mask[a] = True
+    pres_mask[b] = True
+    dom = np.flatnonzero(pres_mask)
     if dom.size <= 1024:
-        ai = np.searchsorted(dom, a)
-        bi = np.searchsorted(dom, b)
+        rank = np.cumsum(pres_mask, dtype=np.int32) - 1
+        ai = rank[a]
+        bi = rank[b]
         la, lb = np.meshgrid(dom, dom, indexing="ij")
         lca_tab = tree._lca_compact(
             la.ravel().astype(np.int32), lb.ravel().astype(np.int32)

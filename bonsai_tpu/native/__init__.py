@@ -42,6 +42,7 @@ def _build() -> bool:
     ]
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-pthread",
         *srcs, "-o", _LIB, "-lz",
     ]
     try:

@@ -8,6 +8,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -126,7 +127,8 @@ extern "C" int64_t btpu_sort_dedup_u64(uint64_t *keys, int64_t n) {
 //   n_miss, n_nz counts; mmin/mmax of missing taxids (else ~0u / 0u)
 //   count = group multiplicity (ftct's genome count)
 // where present = (tin != big), nz = (tval != 0), miss = nz && !present.
-extern "C" int64_t btpu_merge_fold_stats(
+namespace {
+int64_t merge_fold_core(
     int32_t n_runs, const uint64_t *const *run_keys, const int64_t *run_lens,
     const int32_t *const *run_tins, const int32_t *run_tin_const,
     const uint32_t *const *run_tvals, const uint32_t *run_tval_const,
@@ -181,6 +183,86 @@ extern "C" int64_t btpu_merge_fold_stats(
     ++m;
   }
   return m;
+}
+}  // namespace
+
+extern "C" int64_t btpu_merge_fold_stats(
+    int32_t n_runs, const uint64_t *const *run_keys, const int64_t *run_lens,
+    const int32_t *const *run_tins, const int32_t *run_tin_const,
+    const uint32_t *const *run_tvals, const uint32_t *run_tval_const,
+    int32_t big, uint64_t *out_keys, int32_t *out_tmin, int32_t *out_tmax,
+    uint32_t *out_nmiss, uint32_t *out_nnz, uint32_t *out_mmin,
+    uint32_t *out_mmax, uint32_t *out_count) {
+  int64_t total = 0;
+  for (int r = 0; r < n_runs; ++r) total += run_lens[r];
+  if (total < (int64_t(1) << 21)) {
+    return merge_fold_core(n_runs, run_keys, run_lens, run_tins,
+                           run_tin_const, run_tvals, run_tval_const, big,
+                           out_keys, out_tmin, out_tmax, out_nmiss, out_nnz,
+                           out_mmin, out_mmax, out_count);
+  }
+  // two-way split on a key pivot: groups never straddle the cut, so the
+  // halves merge independently on two threads; part 2 lands at the tail
+  // of the output buffers and is compacted with one memmove per array.
+  const uint64_t *biggest = run_keys[0];
+  int64_t blen = run_lens[0];
+  for (int r = 1; r < n_runs; ++r)
+    if (run_lens[r] > blen) {
+      biggest = run_keys[r];
+      blen = run_lens[r];
+    }
+  uint64_t pivot = biggest[blen / 2];
+  std::vector<const uint64_t *> k1(n_runs), k2(n_runs);
+  std::vector<int64_t> l1(n_runs), l2(n_runs);
+  std::vector<const int32_t *> t1(n_runs), t2(n_runs);
+  std::vector<const uint32_t *> v1(n_runs), v2(n_runs);
+  int64_t cap2 = 0;
+  for (int r = 0; r < n_runs; ++r) {
+    // lower_bound(pivot)
+    const uint64_t *kk = run_keys[r];
+    int64_t lo = 0, hi = run_lens[r];
+    while (lo < hi) {
+      int64_t mid = (lo + hi) / 2;
+      if (kk[mid] < pivot)
+        lo = mid + 1;
+      else
+        hi = mid;
+    }
+    k1[r] = kk;
+    l1[r] = lo;
+    k2[r] = kk + lo;
+    l2[r] = run_lens[r] - lo;
+    t1[r] = run_tins[r];
+    t2[r] = run_tins[r] ? run_tins[r] + lo : nullptr;
+    v1[r] = run_tvals[r];
+    v2[r] = run_tvals[r] ? run_tvals[r] + lo : nullptr;
+    cap2 += l2[r];
+  }
+  int64_t off2 = total - cap2;  // tail region capacity == cap2
+  int64_t m2 = 0;
+  std::thread th([&] {
+    m2 = merge_fold_core(n_runs, k2.data(), l2.data(), t2.data(),
+                         run_tin_const, v2.data(), run_tval_const, big,
+                         out_keys + off2, out_tmin + off2, out_tmax + off2,
+                         out_nmiss + off2, out_nnz + off2, out_mmin + off2,
+                         out_mmax + off2, out_count + off2);
+  });
+  int64_t m1 = merge_fold_core(n_runs, k1.data(), l1.data(), t1.data(),
+                               run_tin_const, v1.data(), run_tval_const, big,
+                               out_keys, out_tmin, out_tmax, out_nmiss,
+                               out_nnz, out_mmin, out_mmax, out_count);
+  th.join();
+  if (m1 != off2) {
+    std::memmove(out_keys + m1, out_keys + off2, m2 * sizeof(uint64_t));
+    std::memmove(out_tmin + m1, out_tmin + off2, m2 * sizeof(int32_t));
+    std::memmove(out_tmax + m1, out_tmax + off2, m2 * sizeof(int32_t));
+    std::memmove(out_nmiss + m1, out_nmiss + off2, m2 * sizeof(uint32_t));
+    std::memmove(out_nnz + m1, out_nnz + off2, m2 * sizeof(uint32_t));
+    std::memmove(out_mmin + m1, out_mmin + off2, m2 * sizeof(uint32_t));
+    std::memmove(out_mmax + m1, out_mmax + off2, m2 * sizeof(uint32_t));
+    std::memmove(out_count + m1, out_count + off2, m2 * sizeof(uint32_t));
+  }
+  return m1 + m2;
 }
 
 // Sequential two-choice 4-slot cuckoo placement for the quotient table
