@@ -60,6 +60,9 @@ def _add_build(sub, name, aliases):
     p.add_argument("-z", "--gzip", action="store_true")
     p.add_argument("--phase1-db", default=None, help="phase-1 DB for -t/-f modes")
     p.add_argument("--bonsai-format", action="store_true", help="write reference khash format")
+    p.add_argument("--device-build", action="store_true",
+                   help="run the k-mer fold on the accelerator "
+                        "(db/build_device.py sort-based pipeline)")
     return p
 
 
@@ -75,6 +78,9 @@ def _add_prebuild(sub):
     p.add_argument("-t", "--tax-depth", action="store_true")
     p.add_argument("-f", "--feature-count", action="store_true")
     p.add_argument("-F", "--paths-file", default=None)
+    p.add_argument("--device-build", action="store_true",
+                   help="run the k-mer fold on the accelerator "
+                        "(db/build_device.py sort-based pipeline)")
     return p
 
 
@@ -374,14 +380,27 @@ def _cmd_build(args):
             p1 = load_database(args.phase1_db)
         except ValueError:
             p1 = import_bonsai_database(args.phase1_db)
-        table = minimized_map(paths, p1.table, tree, args.seq2tax, sp, canon)
+        if args.device_build:
+            from .db.build_device import device_minimized_map
+
+            table = device_minimized_map(paths, p1.table, tree,
+                                         args.seq2tax, sp, canon)
+        else:
+            table = minimized_map(paths, p1.table, tree, args.seq2tax, sp,
+                                  canon)
         scheme = "hash"
     else:
         # `bonsai build -e` reaches entropy scoring through the FILE
         # overload's generic windowed loops (ent_score eps 1e-4), not the
         # fused string-overload path — see core/encoder.py docstring.
         scheme = "entropy-file" if args.entropy else "lex"
-        table = lca_map(paths, tree, args.seq2tax, sp, canon, scheme)
+        if args.device_build:
+            from .db.build_device import device_lca_map
+
+            table = device_lca_map(paths, tree, args.seq2tax, sp, canon,
+                                   scheme)
+        else:
+            table = lca_map(paths, tree, args.seq2tax, sp, canon, scheme)
     db = Database(table=table, k=k, w=w, gaps=gaps, canonicalize=canon, scheme=scheme)
     if args.bonsai_format:
         write_bonsai_database(db, args.out_path, compress=args.gzip)
@@ -404,9 +423,13 @@ def _cmd_prebuild(args):
     paths = _paths(args)
     canon = not args.no_canon
     if args.feature_count:
+        if args.device_build:
+            from .db.build_device import device_ftct_map as ftct_map
         table = ftct_map(paths, tree, args.seq2tax, sp, canon)
         scheme = "feature_count"
     else:
+        if args.device_build:
+            from .db.build_device import device_taxdepth_map as taxdepth_map
         table = taxdepth_map(paths, tree, args.seq2tax, sp, canon)
         scheme = "tax_depth"
     db = Database(table=table, k=k, w=k, gaps=gaps, canonicalize=canon, scheme=scheme)

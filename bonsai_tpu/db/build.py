@@ -525,6 +525,7 @@ def lca_map(
     input_type: InputType = InputType.DNA,
     use_device: bool = False,
     checkpoint_path: str | None = None,
+    block: int = 1 << 22,
 ) -> KmerTable:
     """Phase-2 classify DB: kmer -> LCA taxid (feature_min.h:178-183,
     205-228).  With checkpoint_path, the build streams genome-by-genome
@@ -535,7 +536,7 @@ def lca_map(
     for p in builder.pending(list(paths)):
         taxid = taxid_for_path(p, name_map)
         kset = genome_kmer_set(p, sp, canonicalize, scheme, input_type,
-                               use_device=use_device)
+                               use_device=use_device, block=block)
         builder.add_genome(p, taxid, kset)
     if checkpoint_path is not None:
         builder.save_checkpoint()

@@ -1,0 +1,506 @@
+"""Device-side (TPU) database construction: sort-based deterministic fold.
+
+The host build pipeline (db/build.py) replaces the reference's async khash
+farm (/root/reference/include/bonsai/feature_min.h:93-171) with a native
+k-way merge.  This module is the same algebra executed ON THE DEVICE — the
+SURVEY §7 "sort-based perfect layout build": all heavy stages (k-mer
+extraction, dedup, LCA merge) are XLA sorts and elementwise passes, so a
+multi-Mb-genome build rides the TPU's sort throughput (~4 ns/elem measured)
+and HBM bandwidth instead of host memory bandwidth.
+
+Algebra.  LCA-merge is associative and commutative, so a build is a fold of
+per-genome distinct-minimizer sets under the reference's pairwise ``lca``
+(util.h:634-663).  On device:
+
+  * a STATE is (keys u64, pad u8, node i32, orig u32, cnt u32) arrays of a
+    pow2 capacity; valid entries are sorted-unique by key, pads carry key
+    U64_MAX and sort last (pad is a secondary sort key, so a *real*
+    U64_MAX key still orders before pads).
+  * MERGE of two states: one multi-operand ``lax.sort`` of the
+    concatenation (groups have <= 2 real members because inputs are
+    unique), one elementwise pairwise-LCA combine of adjacent duplicates,
+    one compaction sort.  No scatter, no CAS — bit-reproducible for any
+    merge tree.
+  * the pairwise combine implements the reference lca() contract exactly
+    (matching TaxTree.lca_pairs): lca(a,a)=a, lca(x,0)=x, a taxid missing
+    from the tree -> 0xFFFFFFFF, disjoint roots -> 1.  Sequentially folding
+    groups with this combiner is what the reference's update_lca_map does
+    (feature_min.h:205-228), so content matches db/build.py's host fold.
+  * ``cnt`` accumulates genome multiplicity (the ftct feature count) for
+    free during the cross-genome merges; within-genome dedup keeps cnt=1.
+
+Genomes stream through the batched device encoder (core/encoder.py) in
+fixed-size halo-overlapped chunks, so jit sees one shape per block size.
+
+Used by ``bonsai_tpu build/prebuild --device-build``; content equality with
+the host builders is enforced by tests/test_build_device.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from ..core.alphabet import InputType, alphabet_of
+from ..core.encoder import BatchEncoder
+from ..core.spacer import Spacer
+from ..io import fastx
+from ..taxonomy.ncbi import parse_nameid_map, taxid_for_path
+from ..taxonomy.tree import TAX_MISSING, TaxTree
+from .build import TAX_T_MAX, TDencode, unique_u64
+from .table import KmerTable
+
+U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+# -- device taxonomy ops -------------------------------------------------------
+
+def _lca_compact_dev(tree_arrs, a, b):
+    """Vectorized binary-lifting LCA over compact indices, on device.
+    Mirrors TaxTree._lca_compact (taxonomy/tree.py) including the 0-identity
+    rules; `lift` has a static number of levels per tree."""
+    import jax.numpy as jnp
+
+    lift = tree_arrs["lift"]
+    depth = tree_arrs["depth"]
+    parent = tree_arrs["parent"]
+    a0 = a.astype(jnp.int32)
+    b0 = b.astype(jnp.int32)
+    a, b = a0, b0
+    da = depth[a]
+    db = depth[b]
+    for j in range(lift.shape[0] - 1, -1, -1):
+        step = jnp.int32(1 << j)
+        lift_a = (da - db) >= step
+        a = jnp.where(lift_a, lift[j][a], a)
+        da = jnp.where(lift_a, da - step, da)
+        lift_b = (db - da) >= step
+        b = jnp.where(lift_b, lift[j][b], b)
+        db = jnp.where(lift_b, db - step, db)
+    neq = a != b
+    for j in range(lift.shape[0] - 1, -1, -1):
+        pa = lift[j][a]
+        pb = lift[j][b]
+        move = neq & (pa != pb)
+        a = jnp.where(move, pa, a)
+        b = jnp.where(move, pb, b)
+    res = jnp.where(neq, parent[a], a)
+    res = jnp.where(a0 == 0, b0, res)
+    res = jnp.where(b0 == 0, jnp.where(a0 == 0, 0, a0), res)
+    return res
+
+
+def _combine_pair(tree_arrs, root1_node, nx, ox, ny, oy):
+    """Reference-exact pairwise lca on (compact node, original taxid) pairs
+    (util.h:634-663 / TaxTree.lca_pairs).  Returns (node, orig) of the fold;
+    `orig` keeps the poisoning semantics (missing taxid -> TAX_MISSING) and
+    `node` stays consistent (0 for missing) so further folds behave."""
+    import jax.numpy as jnp
+
+    r = _lca_compact_dev(tree_arrs, nx, ny)
+    out_node = r
+    out_orig = tree_arrs["tax_ids"][r]
+    disjoint = (r == 0) & (nx != 0) & (ny != 0)
+    out_node = jnp.where(disjoint, jnp.int32(root1_node), out_node)
+    out_orig = jnp.where(disjoint, jnp.uint32(1), out_orig)
+    missing = ((nx == 0) & (ox != jnp.uint32(0))) | (
+        (ny == 0) & (oy != jnp.uint32(0))
+    )
+    out_node = jnp.where(missing, jnp.int32(0), out_node)
+    out_orig = jnp.where(missing, jnp.uint32(TAX_MISSING), out_orig)
+    # 0-identities take precedence over the missing-lookup failure
+    out_node = jnp.where(ox == jnp.uint32(0), ny, out_node)
+    out_orig = jnp.where(ox == jnp.uint32(0), oy, out_orig)
+    take_x = (oy == jnp.uint32(0)) | (ox == oy)
+    out_node = jnp.where(take_x, nx, out_node)
+    out_orig = jnp.where(take_x, ox, out_orig)
+    return out_node, out_orig
+
+
+# -- state plumbing ------------------------------------------------------------
+
+def _pow2(x: int) -> int:
+    return 1 << max(int(max(x, 1) - 1).bit_length(), 3)
+
+
+def _tree_device(tree: TaxTree):
+    arrs = tree.device_arrays()
+    root1 = int(tree.compact(np.array([1], dtype=np.uint32),
+                             missing_ok=True)[0])
+    return arrs, root1
+
+
+@functools.lru_cache(maxsize=1)
+def _merge_states_jit():
+    import jax
+
+    return jax.jit(
+        _merge_states_impl, static_argnames=("sum_counts", "root1_node")
+    )
+
+
+def _merge_states_impl(ka, pa, na, oa, ca, kb, pb, nb, ob, cb, tree_arrs,
+                       sum_counts: bool, root1_node: int):
+    """Merge two sorted-unique padded states: sort, combine adjacent
+    duplicates, compact.  Returns (keys, pad, node, orig, cnt, n_valid)."""
+    import jax
+    import jax.numpy as jnp
+
+    keys = jnp.concatenate([ka, kb])
+    pad = jnp.concatenate([pa, pb])
+    node = jnp.concatenate([na, nb])
+    orig = jnp.concatenate([oa, ob])
+    cnt = jnp.concatenate([ca, cb])
+    keys, pad, node, orig, cnt = jax.lax.sort(
+        (keys, pad, node, orig, cnt), num_keys=2
+    )
+    nxt_same = jnp.concatenate(
+        [keys[:-1] == keys[1:], jnp.zeros(1, dtype=bool)]
+    )
+    real = pad == 0
+    nxt_real = jnp.concatenate([real[1:], jnp.zeros(1, dtype=bool)])
+    dup = nxt_same & real & nxt_real  # first member of a 2-group
+    ny = jnp.roll(node, -1)
+    oy = jnp.roll(orig, -1)
+    cy = jnp.roll(cnt, -1)
+    cn, co = _combine_pair(tree_arrs, root1_node, node, orig, ny, oy)
+    node = jnp.where(dup, cn, node)
+    orig = jnp.where(dup, co, orig)
+    if sum_counts:
+        cnt = jnp.where(dup, cnt + cy, cnt)
+    # drop the second member of each group: mark as pad, key -> U64_MAX
+    prev_dup = jnp.concatenate([jnp.zeros(1, dtype=bool), dup[:-1]])
+    pad = jnp.where(prev_dup, jnp.uint8(1), pad)
+    keys = jnp.where(prev_dup, jnp.uint64(0xFFFFFFFFFFFFFFFF), keys)
+    keys, pad, node, orig, cnt = jax.lax.sort(
+        (keys, pad, node, orig, cnt), num_keys=2
+    )
+    n_valid = jnp.sum((pad == 0).astype(jnp.int32))
+    return keys, pad, node, orig, cnt, n_valid
+
+
+@functools.lru_cache(maxsize=1)
+def _dedup_chunk_jit():
+    import jax
+
+    return jax.jit(_dedup_chunk_impl)
+
+
+def _dedup_chunk_impl(keys, pad):
+    """Sort one raw emission chunk and drop duplicate keys (all members of
+    a within-genome group are identical, so keep group-first only)."""
+    import jax
+    import jax.numpy as jnp
+
+    keys, pad = jax.lax.sort((keys, pad), num_keys=2)
+    prev_same = jnp.concatenate(
+        [jnp.zeros(1, dtype=bool), keys[1:] == keys[:-1]]
+    )
+    real = pad == 0
+    prev_real = jnp.concatenate([jnp.zeros(1, dtype=bool), real[:-1]])
+    drop = prev_same & real & prev_real
+    pad = jnp.where(drop, jnp.uint8(1), pad)
+    keys = jnp.where(drop, jnp.uint64(0xFFFFFFFFFFFFFFFF), keys)
+    keys, pad = jax.lax.sort((keys, pad), num_keys=2)
+    return keys, pad, jnp.sum((pad == 0).astype(jnp.int32))
+
+
+class _State:
+    """Sorted-unique padded device state (see module docstring)."""
+
+    __slots__ = ("keys", "pad", "node", "orig", "cnt", "n")
+
+    def __init__(self, keys, pad, node, orig, cnt, n: int):
+        self.keys, self.pad, self.node, self.orig, self.cnt = (
+            keys, pad, node, orig, cnt,
+        )
+        self.n = n
+
+    @classmethod
+    def empty(cls, cap: int = 8):
+        import jax.numpy as jnp
+
+        return cls(
+            jnp.full(cap, U64_MAX, dtype=jnp.uint64),
+            jnp.ones(cap, dtype=jnp.uint8),
+            jnp.zeros(cap, dtype=jnp.int32),
+            jnp.zeros(cap, dtype=jnp.uint32),
+            jnp.zeros(cap, dtype=jnp.uint32),
+            0,
+        )
+
+    @classmethod
+    def from_sorted_keys(cls, keys, pad, n: int, node: int, orig: int):
+        """Constant-taxon state from an already sorted-unique padded key
+        array (one genome)."""
+        import jax.numpy as jnp
+
+        real = pad == 0
+        return cls(
+            keys,
+            pad,
+            jnp.where(real, jnp.int32(node), jnp.int32(0)),
+            jnp.where(real, jnp.uint32(orig), jnp.uint32(0)),
+            jnp.where(real, jnp.uint32(1), jnp.uint32(0)),
+            n,
+        )
+
+    def trimmed(self):
+        """Slice to the pow2 capacity covering the valid prefix (valid
+        entries are a prefix after compaction)."""
+        cap = _pow2(self.n)
+        if cap >= self.keys.shape[0]:
+            return self
+        return _State(
+            self.keys[:cap], self.pad[:cap], self.node[:cap],
+            self.orig[:cap], self.cnt[:cap], self.n,
+        )
+
+
+def _merge(a: _State, b: _State, tree_arrs, root1: int,
+           sum_counts: bool) -> _State:
+    out = _merge_states_jit()(
+        a.keys, a.pad, a.node, a.orig, a.cnt,
+        b.keys, b.pad, b.node, b.orig, b.cnt,
+        tree_arrs, sum_counts=sum_counts, root1_node=root1,
+    )
+    st = _State(*out[:5], int(out[5]))
+    return st.trimmed()
+
+
+# -- genome streaming ----------------------------------------------------------
+
+def _genome_state(
+    path: str,
+    sp: Spacer,
+    enc: BatchEncoder,
+    lut: np.ndarray,
+    taxid: int,
+    node: int,
+    tree_arrs,
+    root1: int,
+    block: int,
+) -> _State:
+    """One genome -> folded device state (distinct emitted minimizers with
+    the genome's constant taxid).  Contigs stream in halo-overlapped
+    fixed-shape chunks (same chunk semantics as db/build._contig_sets)."""
+    import jax.numpy as jnp
+
+    halo = sp.w - 1
+    span = sp.c
+    chunk_len = block + halo
+    acc = _State.empty()
+    for _, seq, _ in fastx.read_fastx(path):
+        if len(seq) < span:
+            continue
+        n = len(seq)
+        start = 0
+        while start < n:
+            end = min(start + block + halo, n)
+            sub = seq[start:end]
+            is_last = end >= n
+            codes = np.full((1, chunk_len), -1, dtype=np.int8)
+            codes[0, : len(sub)] = fastx.encode_contig(sub, lut)
+            lengths = np.array([len(sub)], dtype=np.int32)
+            em = enc.emissions(jnp.asarray(codes), jnp.asarray(lengths))
+            mask = em.mask
+            if not is_last and sp.w > sp.c and not enc.canon:
+                # windowed uncanon: the trailing partial emission of a
+                # non-final chunk is not a real contig end (slot 0 by
+                # construction; see db/build._contig_sets)
+                mask = mask.at[:, 0].set(False)
+            keys = jnp.where(mask[0], em.values[0], U64_MAX)
+            pad = (~mask[0]).astype(jnp.uint8)
+            dk, dp, nv = _dedup_chunk_jit()(keys, pad)
+            st = _State.from_sorted_keys(dk, dp, int(nv), node, taxid)
+            acc = _merge(acc, st.trimmed(), tree_arrs, root1,
+                         sum_counts=False)
+            if is_last:
+                break
+            start += block
+    return acc
+
+
+def device_fold_runs(
+    runs: Sequence[Tuple[np.ndarray, int]],
+    tree: TaxTree,
+    want_counts: bool = False,
+):
+    """Device analog of db/build.lca_fold_runs on explicit per-genome
+    sorted-unique key sets: tree-reduced merge fold.  Returns host
+    (keys, taxa[, counts])."""
+    import jax.numpy as jnp
+
+    tree_arrs, root1 = _tree_device(tree)
+    states: List[_State] = []
+    for kset, taxid in runs:
+        kset = np.asarray(kset, dtype=np.uint64)
+        node = int(
+            tree.compact(np.array([taxid], dtype=np.uint32),
+                         missing_ok=True)[0]
+        )
+        cap = _pow2(kset.size)
+        keys = np.full(cap, U64_MAX, dtype=np.uint64)
+        keys[: kset.size] = kset
+        pad = np.ones(cap, dtype=np.uint8)
+        pad[: kset.size] = 0
+        states.append(
+            _State.from_sorted_keys(
+                jnp.asarray(keys), jnp.asarray(pad), int(kset.size),
+                node, int(taxid) & 0xFFFFFFFF,
+            )
+        )
+    return _finish_fold(states, tree_arrs, root1, want_counts)
+
+
+def _finish_fold(states: List[_State], tree_arrs, root1: int,
+                 want_counts: bool):
+    if not states:
+        out = (np.zeros(0, np.uint64), np.zeros(0, np.uint32))
+        return out + ((np.zeros(0, np.int64),) if want_counts else ())
+    # tree reduction: deterministic content for ANY merge order (LCA is
+    # associative/commutative); pairing keeps sort sizes balanced
+    while len(states) > 1:
+        nxt = []
+        for i in range(0, len(states) - 1, 2):
+            nxt.append(
+                _merge(states[i], states[i + 1], tree_arrs, root1,
+                       sum_counts=True)
+            )
+        if len(states) % 2:
+            nxt.append(states[-1])
+        states = nxt
+    st = states[0]
+    keys = np.asarray(st.keys)[: st.n]
+    taxa = np.asarray(st.orig)[: st.n].astype(np.uint32)
+    if want_counts:
+        return keys, taxa, np.asarray(st.cnt)[: st.n].astype(np.int64)
+    return keys, taxa
+
+
+# -- public builders -----------------------------------------------------------
+
+def _device_gather(
+    paths: Sequence[str],
+    tree: TaxTree,
+    name_map,
+    sp: Spacer,
+    canonicalize: bool,
+    scheme: str,
+    input_type: InputType,
+    score_map=None,
+    block: int = 1 << 20,
+) -> Tuple[List[_State], tuple, int]:
+    if isinstance(name_map, str):
+        name_map = parse_nameid_map(name_map)
+    enc = BatchEncoder(sp, canonicalize, scheme, InputType(input_type),
+                       score_map)
+    lut = alphabet_of(InputType(input_type)).lut
+    tree_arrs, root1 = _tree_device(tree)
+    states = []
+    for p in paths:
+        taxid = taxid_for_path(p, name_map)
+        node = int(
+            tree.compact(np.array([taxid], dtype=np.uint32),
+                         missing_ok=True)[0]
+        )
+        states.append(
+            _genome_state(p, sp, enc, lut, int(taxid) & 0xFFFFFFFF, node,
+                          tree_arrs, root1, block)
+        )
+    return states, tree_arrs, root1
+
+
+def device_lca_map(
+    paths: Sequence[str],
+    tree: TaxTree,
+    name_map: Dict[str, int] | str,
+    sp: Spacer,
+    canonicalize: bool = True,
+    scheme: str = "lex",
+    input_type: InputType = InputType.DNA,
+    block: int = 1 << 20,
+) -> KmerTable:
+    """Phase-2 classify DB built on device; content-identical to
+    db/build.lca_map (feature_min.h:178-183,205-228)."""
+    states, tree_arrs, root1 = _device_gather(
+        paths, tree, name_map, sp, canonicalize, scheme, input_type,
+        block=block,
+    )
+    keys, taxa = _finish_fold(states, tree_arrs, root1, want_counts=False)
+    return KmerTable(keys, taxa)
+
+
+def device_taxdepth_map(
+    paths: Sequence[str],
+    tree: TaxTree,
+    name_map: Dict[str, int] | str,
+    sp: Spacer,
+    canonicalize: bool = True,
+    input_type: InputType = InputType.DNA,
+    block: int = 1 << 20,
+) -> KmerTable:
+    """Phase-1 tax-depth map on device (feature_min.h:198-203,230-250):
+    kmer -> TDencode(depth, lca)."""
+    states, tree_arrs, root1 = _device_gather(
+        paths, tree, name_map, sp, canonicalize, "lex", input_type,
+        block=block,
+    )
+    k, v = _finish_fold(states, tree_arrs, root1, want_counts=False)
+    depths = tree.depth_of(v)
+    packed = np.where(
+        v == np.uint32(TAX_T_MAX), np.uint64(1), TDencode(depths, v)
+    )
+    return KmerTable(k, packed.astype(np.uint64))
+
+
+def device_ftct_map(
+    paths: Sequence[str],
+    tree: TaxTree,
+    name_map: Dict[str, int] | str,
+    sp: Spacer,
+    canonicalize: bool = True,
+    input_type: InputType = InputType.DNA,
+    block: int = 1 << 20,
+) -> KmerTable:
+    """Phase-1 feature-count map on device (feature_min.h:192-197,251-265
+    as intended): kmer -> (n_genomes << 32) | lca."""
+    states, tree_arrs, root1 = _device_gather(
+        paths, tree, name_map, sp, canonicalize, "lex", input_type,
+        block=block,
+    )
+    k, v, counts = _finish_fold(states, tree_arrs, root1, want_counts=True)
+    packed = (
+        np.minimum(counts, TAX_T_MAX).astype(np.uint64) << np.uint64(32)
+    ) | v.astype(np.uint64)
+    return KmerTable(k, packed.astype(np.uint64))
+
+
+def device_minimized_map(
+    paths: Sequence[str],
+    phase1: KmerTable,
+    tree: TaxTree,
+    name_map: Dict[str, int] | str,
+    sp: Spacer,
+    canonicalize: bool = True,
+    input_type: InputType = InputType.DNA,
+    block: int = 1 << 20,
+) -> KmerTable:
+    """Phase-2 minimized map with device encoding under score::Hash
+    ordering (feature_min.h:185-190,267-281)."""
+    from .table import ScoreMap
+
+    if isinstance(name_map, str):
+        name_map = parse_nameid_map(name_map)
+    smap = ScoreMap(phase1)
+    states, tree_arrs, root1 = _device_gather(
+        paths, tree, name_map, sp, canonicalize, "hash", input_type,
+        score_map=smap, block=block,
+    )
+    keys, _ = _finish_fold(states, tree_arrs, root1, want_counts=False)
+    keys = unique_u64(keys)
+    vals, found = phase1.probe_np(keys)
+    keys, vals = keys[found], vals[found]
+    return KmerTable(keys, (vals & np.uint64(TAX_T_MAX)).astype(np.uint32))
