@@ -39,6 +39,7 @@ the host builders is enforced by tests/test_build_device.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -476,6 +477,235 @@ def device_ftct_map(
         np.minimum(counts, TAX_T_MAX).astype(np.uint64) << np.uint64(32)
     ) | v.astype(np.uint64)
     return KmerTable(k, packed.astype(np.uint64))
+
+
+# -- multi-device sharded fold ------------------------------------------------
+
+class ShardedLCAFold:
+    """Key-range-sharded LCA fold over a mesh 'db' axis (SURVEY §2.10: the
+    DB-build communication backbone).
+
+    Each rank owns a key range [splitter[r-1], splitter[r]) and folds only
+    the stream elements in its range — shard-local ownership means no
+    cross-device merge traffic at all (the stream is replicated; ranks
+    filter).  Every rank runs the same sort-based merge as the single-device
+    fold (_merge_states_impl), so per-shard content is sorted-unique and the
+    global result is the range-ordered concatenation.  LCA-merge being
+    associative/commutative makes the outcome independent of chunk order and
+    of the shard count — content-identical to db/build.lca_map.
+
+    Capacity is static per rank (XLA shapes); `add_chunk` returns per-rank
+    valid counts so the caller can detect (and re-run with a larger cap on)
+    overflow — entries past cap would otherwise be dropped silently.
+    """
+
+    def __init__(self, tree: TaxTree, mesh, cap: int,
+                 splitters: np.ndarray | None = None):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.tree = tree
+        self.mesh = mesh
+        self.ndb = mesh.shape["db"]
+        self.cap = int(cap)
+        self.tree_arrs, self.root1 = _tree_device(tree)
+        if splitters is None:
+            # even split of the key space; pass sampled quantiles for
+            # balanced shards on skewed (e.g. canonical-kmer) keys
+            step = (1 << 64) // self.ndb
+            splitters = np.array(
+                [step * i for i in range(1, self.ndb)], dtype=np.uint64
+            )
+        assert splitters.shape == (self.ndb - 1,)
+        self._splitters = jnp.asarray(
+            np.concatenate(
+                [splitters.astype(np.uint64),
+                 np.array([0xFFFFFFFFFFFFFFFF], dtype=np.uint64)]
+            )
+        )
+        shard = NamedSharding(mesh, P("db"))
+        n = self.ndb * self.cap
+        self.keys = jax.device_put(
+            jnp.full(n, U64_MAX, dtype=jnp.uint64), shard
+        )
+        self.pad = jax.device_put(jnp.ones(n, dtype=jnp.uint8), shard)
+        self.node = jax.device_put(jnp.zeros(n, dtype=jnp.int32), shard)
+        self.orig = jax.device_put(jnp.zeros(n, dtype=jnp.uint32), shard)
+        self.cnt = jax.device_put(jnp.zeros(n, dtype=jnp.uint32), shard)
+        self._fns = {}
+
+    def _fn(self, E: int):
+        if E in self._fns:
+            return self._fns[E]
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        tree_arrs = self.tree_arrs
+        root1 = self.root1
+        cap = self.cap
+        ndb = self.ndb
+
+        def local(keys, pad, node, orig, cnt, ck, cp, cnode, corig, spl):
+            r = jax.lax.axis_index("db")
+            lo = jnp.where(r == 0, jnp.uint64(0), spl[0][r - 1])
+            hi = spl[0][r]
+            last = r == ndb - 1
+            # foreign keys -> pad (hi is inclusive only on the last rank)
+            mine = (ck >= lo) & ((ck < hi) | (last & (ck <= hi)))
+            mine = mine & (cp == 0)
+            ck = jnp.where(mine, ck, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+            cp = jnp.where(mine, jnp.uint8(0), jnp.uint8(1))
+            dk, dp, _ = _dedup_chunk_impl(ck, cp)
+            real = dp == 0
+            out = _merge_states_impl(
+                keys, pad, node, orig, cnt,
+                dk, dp,
+                jnp.where(real, cnode[0], jnp.int32(0)),
+                jnp.where(real, corig[0], jnp.uint32(0)),
+                jnp.where(real, jnp.uint32(1), jnp.uint32(0)),
+                tree_arrs, sum_counts=False, root1_node=root1,
+            )
+            nk, np_, nn, no, nc, nv = out
+            return nk[:cap], np_[:cap], nn[:cap], no[:cap], nc[:cap], nv[None]
+
+        fn = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(
+                P("db"), P("db"), P("db"), P("db"), P("db"),
+                P(), P(), P(), P(), P(None),
+            ),
+            out_specs=(P("db"),) * 5 + (P("db"),),
+        )
+        self._fns[E] = jax.jit(fn)
+        return self._fns[E]
+
+    def add_chunk(self, keys, pad, node: int, orig: int):
+        """Fold one genome-chunk stream (replicated (E,) arrays) into every
+        rank's range.  Raises on shard-capacity overflow."""
+        import jax.numpy as jnp
+
+        E = int(keys.shape[0])
+        fn = self._fn(E)
+        out = fn(
+            self.keys, self.pad, self.node, self.orig, self.cnt,
+            keys, pad,
+            jnp.full(1, node, dtype=jnp.int32),
+            jnp.full(1, orig, dtype=jnp.uint32),
+            self._splitters[None, :],
+        )
+        self.keys, self.pad, self.node, self.orig, self.cnt, nv = out
+        nv = np.asarray(nv)
+        if (nv > self.cap).any():
+            raise RuntimeError(
+                f"shard capacity {self.cap} exceeded: per-rank valid={nv}; "
+                "re-run with a larger cap"
+            )
+
+    def finish(self):
+        """(keys, taxa) host arrays — globally sorted unique (ranges are
+        ascending by rank)."""
+        keys = np.asarray(self.keys).reshape(self.ndb, self.cap)
+        pad = np.asarray(self.pad).reshape(self.ndb, self.cap)
+        orig = np.asarray(self.orig).reshape(self.ndb, self.cap)
+        ks, ts = [], []
+        for r in range(self.ndb):
+            m = pad[r] == 0
+            ks.append(keys[r][m])
+            ts.append(orig[r][m])
+        return np.concatenate(ks), np.concatenate(ts).astype(np.uint32)
+
+
+def sharded_lca_map(
+    paths: Sequence[str],
+    tree: TaxTree,
+    name_map: Dict[str, int] | str,
+    sp: Spacer,
+    mesh,
+    canonicalize: bool = True,
+    scheme: str = "lex",
+    input_type: InputType = InputType.DNA,
+    block: int = 1 << 20,
+    cap: int | None = None,
+) -> KmerTable:
+    """Phase-2 LCA DB built across a mesh 'db' axis; content-identical to
+    db/build.lca_map.  `cap` is the per-shard key capacity (default: a
+    generous estimate from total input bases)."""
+    import jax.numpy as jnp
+
+    if isinstance(name_map, str):
+        name_map = parse_nameid_map(name_map)
+    enc = BatchEncoder(sp, canonicalize, scheme, InputType(input_type))
+    lut = alphabet_of(InputType(input_type)).lut
+    ndb = mesh.shape["db"]
+    if cap is None:
+        total = sum(os.path.getsize(p) for p in paths)
+        # ~1 distinct kmer per base upper bound, 2x gz expansion, 1.5 margin
+        est = total * (3 if any(p.endswith(".gz") for p in paths) else 1)
+        cap = _pow2(int(est * 1.5 / ndb) + (1 << 12))
+
+    def chunks():
+        import jax.numpy as jnp
+
+        halo = sp.w - 1
+        chunk_len = block + halo
+        for p in paths:
+            taxid = taxid_for_path(p, name_map)
+            node = int(
+                tree.compact(np.array([taxid], dtype=np.uint32),
+                             missing_ok=True)[0]
+            )
+            for _, seq, _ in fastx.read_fastx(p):
+                if len(seq) < sp.c:
+                    continue
+                n = len(seq)
+                start = 0
+                while start < n:
+                    end = min(start + block + halo, n)
+                    sub = seq[start:end]
+                    is_last = end >= n
+                    codes = np.full((1, chunk_len), -1, dtype=np.int8)
+                    codes[0, : len(sub)] = fastx.encode_contig(sub, lut)
+                    lengths = np.array([len(sub)], dtype=np.int32)
+                    em = enc.emissions(
+                        jnp.asarray(codes), jnp.asarray(lengths)
+                    )
+                    mask = em.mask
+                    if not is_last and sp.w > sp.c and not enc.canon:
+                        mask = mask.at[:, 0].set(False)
+                    keys = jnp.where(mask[0], em.values[0], U64_MAX)
+                    pad = (~mask[0]).astype(jnp.uint8)
+                    yield keys, pad, node, int(taxid) & 0xFFFFFFFF
+                    if is_last:
+                        break
+                    start += block
+
+    stream = chunks()
+    try:
+        first = next(stream)
+    except StopIteration:
+        return KmerTable(np.zeros(0, np.uint64), np.zeros(0, np.uint32))
+    # balanced key-range splitters from the first chunk's quantiles (kmer
+    # keys occupy [0, 4^k) and skew toward canonical minima; an even
+    # 64-bit split would land everything on rank 0)
+    fk = np.asarray(first[0])[np.asarray(first[1]) == 0]
+    if fk.size >= ndb:
+        qs = np.quantile(fk.astype(np.float64), np.arange(1, ndb) / ndb)
+        qs = np.minimum(qs, np.nextafter(2.0**64, 0.0))
+        splitters = np.unique(qs.astype(np.uint64))
+        if splitters.size < ndb - 1:  # degenerate: fall back to even split
+            splitters = None
+    else:
+        splitters = None
+    fold = ShardedLCAFold(tree, mesh, cap, splitters=splitters)
+    import itertools
+
+    for keys, pad, node, orig in itertools.chain([first], stream):
+        fold.add_chunk(keys, pad, node, orig)
+    keys, taxa = fold.finish()
+    return KmerTable(keys, taxa)
 
 
 def device_minimized_map(

@@ -168,6 +168,36 @@ def test_device_minimized_map_matches_host(tmp_path, tree):
     _assert_tables_equal(host, dev)
 
 
+def test_sharded_lca_map_matches_host(tmp_path, tree):
+    """Key-range-sharded fold over a 4-wide 'db' mesh axis == host build."""
+    from bonsai_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(21)
+    paths, name_map = _write_genomes(tmp_path, rng, n=3, contigs=(2600, 900))
+    sp = Spacer(27, 27)
+    host = build.lca_map(paths, tree, name_map, sp)
+    mesh = make_mesh({"db": 4})
+    dev = build_device.sharded_lca_map(
+        paths, tree, name_map, sp, mesh, block=1 << 10
+    )
+    assert host.n > 0
+    _assert_tables_equal(host, dev)
+
+
+def test_sharded_fold_overflow_detection(tree):
+    from bonsai_tpu.parallel.mesh import make_mesh
+
+    import jax.numpy as jnp
+
+    mesh = make_mesh({"db": 2})
+    fold = build_device.ShardedLCAFold(tree, mesh, cap=8)
+    rng = np.random.default_rng(2)
+    keys = jnp.asarray(rng.integers(0, 1 << 63, 64).astype(np.uint64))
+    pad = jnp.zeros(64, dtype=jnp.uint8)
+    with pytest.raises(RuntimeError, match="capacity"):
+        fold.add_chunk(keys, pad, node=3, orig=11)
+
+
 def test_device_build_classifies_identically(tmp_path, tree):
     """A device-built DB must drive the classifier to the same output as a
     host-built one (same content => same probe results by construction)."""
