@@ -422,15 +422,17 @@ def _cmd_prebuild(args):
     tree = TaxTree.from_nodes_dmp(args.tax_path)
     paths = _paths(args)
     canon = not args.no_canon
+    if args.device_build:
+        from .db.build_device import device_ftct_map, device_taxdepth_map
+
+        build_ftct, build_td = device_ftct_map, device_taxdepth_map
+    else:
+        build_ftct, build_td = ftct_map, taxdepth_map
     if args.feature_count:
-        if args.device_build:
-            from .db.build_device import device_ftct_map as ftct_map
-        table = ftct_map(paths, tree, args.seq2tax, sp, canon)
+        table = build_ftct(paths, tree, args.seq2tax, sp, canon)
         scheme = "feature_count"
     else:
-        if args.device_build:
-            from .db.build_device import device_taxdepth_map as taxdepth_map
-        table = taxdepth_map(paths, tree, args.seq2tax, sp, canon)
+        table = build_td(paths, tree, args.seq2tax, sp, canon)
         scheme = "tax_depth"
     db = Database(table=table, k=k, w=k, gaps=gaps, canonicalize=canon, scheme=scheme)
     save_database(db, args.out_path)

@@ -392,7 +392,7 @@ def _device_gather(
     scheme: str,
     input_type: InputType,
     score_map=None,
-    block: int = 1 << 20,
+    block: int = 1 << 22,
 ) -> Tuple[List[_State], tuple, int]:
     if isinstance(name_map, str):
         name_map = parse_nameid_map(name_map)
@@ -422,10 +422,17 @@ def device_lca_map(
     canonicalize: bool = True,
     scheme: str = "lex",
     input_type: InputType = InputType.DNA,
-    block: int = 1 << 20,
+    block: int = 1 << 22,
 ) -> KmerTable:
     """Phase-2 classify DB built on device; content-identical to
-    db/build.lca_map (feature_min.h:178-183,205-228)."""
+    db/build.lca_map (feature_min.h:178-183,205-228).
+
+    Caveat (windowed uncanonical only, -C with w > k): a window whose
+    bases straddle a chunk boundary next to an in-chunk N can select a
+    different minimizer than an unchunked pass, so content for that
+    discipline is identical to the host build only at equal ``block``
+    (both default to 1 << 22).  All other disciplines are block-size
+    invariant."""
     states, tree_arrs, root1 = _device_gather(
         paths, tree, name_map, sp, canonicalize, scheme, input_type,
         block=block,
@@ -441,7 +448,7 @@ def device_taxdepth_map(
     sp: Spacer,
     canonicalize: bool = True,
     input_type: InputType = InputType.DNA,
-    block: int = 1 << 20,
+    block: int = 1 << 22,
 ) -> KmerTable:
     """Phase-1 tax-depth map on device (feature_min.h:198-203,230-250):
     kmer -> TDencode(depth, lca)."""
@@ -464,7 +471,7 @@ def device_ftct_map(
     sp: Spacer,
     canonicalize: bool = True,
     input_type: InputType = InputType.DNA,
-    block: int = 1 << 20,
+    block: int = 1 << 22,
 ) -> KmerTable:
     """Phase-1 feature-count map on device (feature_min.h:192-197,251-265
     as intended): kmer -> (n_genomes << 32) | lca."""
@@ -596,13 +603,17 @@ class ShardedLCAFold:
             jnp.full(1, orig, dtype=jnp.uint32),
             self._splitters[None, :],
         )
-        self.keys, self.pad, self.node, self.orig, self.cnt, nv = out
-        nv = np.asarray(nv)
+        nv = np.asarray(out[5])
         if (nv > self.cap).any():
+            # do NOT commit the cap-truncated state (it already dropped
+            # keys); leaving self.* at the pre-chunk state keeps the fold
+            # usable for inspection, but the chunk is lost — callers must
+            # rebuild with a larger cap
             raise RuntimeError(
                 f"shard capacity {self.cap} exceeded: per-rank valid={nv}; "
                 "re-run with a larger cap"
             )
+        self.keys, self.pad, self.node, self.orig, self.cnt = out[:5]
 
     def finish(self):
         """(keys, taxa) host arrays — globally sorted unique (ranges are
@@ -627,7 +638,7 @@ def sharded_lca_map(
     canonicalize: bool = True,
     scheme: str = "lex",
     input_type: InputType = InputType.DNA,
-    block: int = 1 << 20,
+    block: int = 1 << 22,
     cap: int | None = None,
 ) -> KmerTable:
     """Phase-2 LCA DB built across a mesh 'db' axis; content-identical to
@@ -683,26 +694,39 @@ def sharded_lca_map(
                     start += block
 
     stream = chunks()
-    try:
-        first = next(stream)
-    except StopIteration:
+    # balanced key-range splitters from several leading chunks' quantiles
+    # (kmer keys occupy [0, 4^k) and skew toward canonical minima; an even
+    # 64-bit split would land everything on rank 0).  Sampling across up
+    # to 16 chunks — which spans multiple genomes for multi-file corpora —
+    # guards against a degenerate or skewed first chunk (ADVICE r2).
+    head = []
+    sample = []
+    for item in stream:
+        head.append(item)
+        k_, p_ = np.asarray(item[0]), np.asarray(item[1])
+        sample.append(k_[p_ == 0])
+        if len(head) >= 16:
+            break
+    if not head:
         return KmerTable(np.zeros(0, np.uint64), np.zeros(0, np.uint32))
-    # balanced key-range splitters from the first chunk's quantiles (kmer
-    # keys occupy [0, 4^k) and skew toward canonical minima; an even
-    # 64-bit split would land everything on rank 0)
-    fk = np.asarray(first[0])[np.asarray(first[1]) == 0]
+    fk = np.concatenate(sample) if sample else np.zeros(0, np.uint64)
+    splitters = None
     if fk.size >= ndb:
         qs = np.quantile(fk.astype(np.float64), np.arange(1, ndb) / ndb)
         qs = np.minimum(qs, np.nextafter(2.0**64, 0.0))
         splitters = np.unique(qs.astype(np.uint64))
         if splitters.size < ndb - 1:  # degenerate: fall back to even split
             splitters = None
-    else:
-        splitters = None
+    if splitters is None and 2 * sp.k < 64:
+        # even split of the actual kmer domain [0, 4^k), not of u64
+        dom = np.uint64(1) << np.uint64(2 * sp.k)
+        splitters = (np.arange(1, ndb, dtype=np.uint64) * dom) // np.uint64(
+            ndb
+        )
     fold = ShardedLCAFold(tree, mesh, cap, splitters=splitters)
     import itertools
 
-    for keys, pad, node, orig in itertools.chain([first], stream):
+    for keys, pad, node, orig in itertools.chain(head, stream):
         fold.add_chunk(keys, pad, node, orig)
     keys, taxa = fold.finish()
     return KmerTable(keys, taxa)
@@ -716,7 +740,7 @@ def device_minimized_map(
     sp: Spacer,
     canonicalize: bool = True,
     input_type: InputType = InputType.DNA,
-    block: int = 1 << 20,
+    block: int = 1 << 22,
 ) -> KmerTable:
     """Phase-2 minimized map with device encoding under score::Hash
     ordering (feature_min.h:185-190,267-281)."""

@@ -40,7 +40,7 @@ threshold ~0.93; we size at <= 0.87).  Deterministic throughout.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -75,7 +75,7 @@ class KmerTable:
     by key); the quotient-slot layout is a derived probe structure."""
 
     def __init__(self, keys_sorted: np.ndarray, vals_sorted: np.ndarray,
-                 load_factor: float = MAX_LOAD):
+                 load_factor: float = MAX_LOAD, min_nb: int = 0):
         keys_sorted = np.asarray(keys_sorted, dtype=np.uint64)
         vals_sorted = np.asarray(vals_sorted)
         if keys_sorted.ndim != 1 or keys_sorted.shape != vals_sorted.shape:
@@ -89,6 +89,7 @@ class KmerTable:
         nb = max(
             _next_pow2(max(int(np.ceil(self.n / (SLOTS * load_factor))), 1)),
             4,
+            _next_pow2(min_nb) if min_nb else 4,
         )
         while not self._try_build(nb):
             nb <<= 1
@@ -224,12 +225,18 @@ class KmerTable:
         self.max_scan = 2  # by construction
 
     # -- derived probe arrays ----------------------------------------------
-    def _encode_slots(self, vals_aligned: np.ndarray):
+    def _encode_slots(self, vals_aligned: np.ndarray,
+                      uniq: Optional[np.ndarray] = None):
         """(slots (nb, SLOTS) u64, vals, inline) for values aligned to
-        keys_sorted."""
+        keys_sorted.
+
+        ``uniq`` optionally provides a shared sorted unique-values array
+        (hash-sharded tables encode every shard against one global value
+        table so val_idx is consistent across shards)."""
         vals_aligned = np.asarray(vals_aligned)
         v64 = vals_aligned.astype(np.uint64)
-        uniq = np.unique(v64) if self.n else np.zeros(1, np.uint64)
+        if uniq is None:
+            uniq = np.unique(v64) if self.n else np.zeros(1, np.uint64)
         if uniq.size == 0:
             uniq = np.zeros(1, np.uint64)
         inline = uniq.size <= (1 << self.vbits)
@@ -310,33 +317,10 @@ class KmerTable:
     def probe_device(self, queries, arrays=None) -> Tuple:
         """queries: (...,) uint64 jnp array -> (vals u64, found).  Two 32B
         row gathers + one small value gather."""
-        import jax.numpy as jnp
-
         slots, vals, inline = arrays or self.device_arrays()
-        h = hashes.splitmix64(queries)
-        b1, q, b2 = self._split(h, self.lgnb, xp=jnp)
-        e1, e2, vmask = self._expected(q, jnp)
-        lane = jnp.arange(SLOTS, dtype=jnp.uint32)
-        found = jnp.zeros(queries.shape, dtype=bool)
-        sel = jnp.zeros(queries.shape, dtype=jnp.uint32)  # val index/slot pos
-        for b, e in ((b1, e1), (b2, e2)):
-            bi = b.astype(jnp.int32)
-            row = slots[bi]
-            m = (row & ~vmask) == e[..., None]
-            hit = jnp.any(m, axis=-1)
-            if inline:
-                s = jnp.sum(
-                    jnp.where(m, (row & vmask).astype(jnp.uint32), 0), -1
-                )
-            else:
-                pos = bi[..., None].astype(jnp.uint32) * SLOTS + lane
-                s = jnp.sum(jnp.where(m, pos, 0), -1)
-            sel = jnp.where(hit & ~found, s, sel)
-            found = found | hit
-        flat_vals = vals.reshape(-1)
-        val = flat_vals[sel.astype(jnp.int32)]
-        val = jnp.where(found, val, 0)
-        return val, found
+        return probe_slots_device(
+            queries, slots, vals, inline, self.lgnb, self.vbits
+        )
 
     # -- dict-style host access (tests / small tools) ---------------------
     def lookup(self, key: int):
@@ -347,6 +331,121 @@ class KmerTable:
 
     def __len__(self):
         return self.n
+
+
+def probe_slots_device(queries, slots, vals, inline: bool, lgnb: int,
+                       vbits: int):
+    """Probe a quotient-cuckoo slot array on device: (..., ) u64 queries
+    -> (packed vals u64, found bool).  Two 32B row gathers + one small
+    value gather.  Standalone so hash-sharded sub-tables (which share one
+    geometry but live inside shard_map) probe with the exact same math as
+    KmerTable.probe_device."""
+    import jax.numpy as jnp
+
+    h = hashes.splitmix64(queries)
+    b1, q, b2 = KmerTable._split(h, lgnb, xp=jnp)
+    vmask = jnp.uint64((1 << vbits) - 1)
+    base = jnp.uint64(1 << 63) | (q << jnp.uint64(vbits))
+    e1, e2 = base, base | jnp.uint64(1 << 62)
+    lane = jnp.arange(SLOTS, dtype=jnp.uint32)
+    found = jnp.zeros(queries.shape, dtype=bool)
+    sel = jnp.zeros(queries.shape, dtype=jnp.uint32)  # val index/slot pos
+    for b, e in ((b1, e1), (b2, e2)):
+        bi = b.astype(jnp.int32)
+        row = slots[bi]
+        m = (row & ~vmask) == e[..., None]
+        hit = jnp.any(m, axis=-1)
+        if inline:
+            s = jnp.sum(jnp.where(m, (row & vmask).astype(jnp.uint32), 0), -1)
+        else:
+            pos = bi[..., None].astype(jnp.uint32) * SLOTS + lane
+            s = jnp.sum(jnp.where(m, pos, 0), -1)
+        sel = jnp.where(hit & ~found, s, sel)
+        found = found | hit
+    flat_vals = vals.reshape(-1)
+    val = flat_vals[sel.astype(jnp.int32)]
+    val = jnp.where(found, val, 0)
+    return val, found
+
+
+def shard_owner(kmers, ndb: int, xp=np):
+    """Hash-prefix shard owner of each kmer, in [0, ndb), for any ndb
+    (fixed-point range partition of splitmix64's top 32 bits — the
+    'prefix-sharded by leading hash bits' policy of SURVEY §2.10).  The
+    owner bits are disjoint from the b1 bucket bits (low lgnb), so
+    within-shard bucket balance is unaffected."""
+    h = hashes.splitmix64(kmers)
+    return (((h >> xp.uint64(32)) * xp.uint64(ndb)) >> xp.uint64(32)).astype(
+        xp.int32
+    )
+
+
+class HashShardedTable:
+    """ndb independent quotient-cuckoo sub-tables partitioned by hash
+    prefix — the all_to_all-routed replacement for range-sharding one
+    global table.
+
+    Every key lives on exactly one shard (owner = shard_owner(key, ndb));
+    a query is routed to its owner and probed there with the standard
+    dual-gather, so N chips deliver N chips of gather throughput (each
+    query's two row gathers happen on ONE rank), unlike the psum design
+    where every rank gathers rows for all of its dp-group's queries
+    (the reference's full-speed shared khash property,
+    /root/reference/include/bonsai/classifier.h:133).
+
+    All shards are built with a common bucket count nb (hence common lgnb
+    / vbits / expected-word math), so their slot arrays stack into one
+    (ndb, nb, SLOTS) u64 array shardable along a 'db' mesh axis."""
+
+    def __init__(self, table: KmerTable, ndb: int):
+        if ndb < 1:
+            raise ValueError("ndb must be >= 1")
+        self.ndb = ndb
+        keys, vals = table.keys_sorted, table.vals_sorted
+        owner = shard_owner(keys, ndb)
+        # subsets of a sorted array stay sorted: each shard's keys_sorted
+        # invariant holds by construction
+        self.parts: List[np.ndarray] = [
+            np.nonzero(owner == s)[0] for s in range(ndb)
+        ]
+        nmax = max(max((p.size for p in self.parts), default=0), 1)
+        nb = max(_next_pow2(int(np.ceil(nmax / (SLOTS * MAX_LOAD)))), 4)
+        while True:
+            shards = [
+                KmerTable(keys[p], vals[p], min_nb=nb) for p in self.parts
+            ]
+            got = max(s.nb for s in shards)
+            if got == nb:
+                break
+            nb = got  # a shard needed growth: rebuild all at the same nb
+        self.shards = shards
+        self.nb = nb
+        self.lgnb = shards[0].lgnb
+        self.vbits = shards[0].vbits
+        self.n = table.n
+
+    def arrays_np(self, vals_aligned: np.ndarray):
+        """(slots (ndb, nb, SLOTS) u64, vals, inline) for values aligned
+        to the parent table's keys_sorted.  In inline mode ``vals`` is ONE
+        global unique-values array (replicated across ranks); otherwise a
+        stacked (ndb, nb, SLOTS) u64 value array sharded with the slots."""
+        v64 = np.asarray(vals_aligned).astype(np.uint64)
+        uniq = np.unique(v64) if v64.size else np.zeros(1, np.uint64)
+        if uniq.size == 0:
+            uniq = np.zeros(1, np.uint64)
+        slots_l, vals_l, inline = [], [], None
+        for shard, p in zip(self.shards, self.parts):
+            s, v, i = shard._encode_slots(v64[p], uniq=uniq)
+            if inline is None:
+                inline = i
+            assert i == inline  # same vbits + same uniq => same mode
+            slots_l.append(s)
+            vals_l.append(v)
+        if not self.shards:
+            return (np.zeros((0, 0, SLOTS), np.uint64), uniq, True)
+        slots = np.stack(slots_l)
+        vals = uniq if inline else np.stack(vals_l)
+        return slots, vals, inline
 
 
 class ScoreMap:

@@ -3,13 +3,32 @@
 Sharding policy (SURVEY §2.10 / §5 "Distributed communication backend"):
 
 * reads are data-parallel along mesh axis 'dp';
-* the DB table is either replicated (small DB) or bucket-range sharded
-  along axis 'db': rank s owns buckets [s*nb/ndb, (s+1)*nb/ndb).  Queries
-  are already replicated along 'db' (reads shard only over 'dp'), so each
-  rank probes its local range and results merge with ONE small psum over
-  'db' — no query routing traffic at all; the only communication is the
-  (B, P) hit/val reduction.  Each key exists on exactly one rank, so
-  psum(val * found) is exact.
+* the DB table is either replicated (small DB) or sharded along axis
+  'db', with two routing strategies:
+
+  - route="a2a" (default when ndb > 1): the table is HASH-PREFIX
+    sharded (db.table split into ndb independent sub-tables by
+    shard_owner(key), db/table.py); reads shard over BOTH axes, each
+    device bucketizes its queries by owner rank, all_to_all routes them
+    over 'db', the owner probes 1/ndb of the stream with the standard
+    dual-gather, and a second all_to_all returns packed results.  Per-
+    chip gather volume is flat in ndb — N chips deliver N chips of
+    probe throughput, preserving the reference's full-speed shared-
+    khash property (/root/reference/include/bonsai/classifier.h:133).
+    Exactness under arbitrary bucket skew (e.g. low-complexity reads
+    whose kmers all hash to one owner) comes from a while_loop that
+    re-routes capacity overflow in further rounds; the common case is
+    one round.
+
+  - route="psum": rank s owns a contiguous range of the ONE global
+    table's buckets [s*nb/ndb, (s+1)*nb/ndb).  Queries replicate along
+    'db' (reads shard only over 'dp'); each rank probes its local range
+    and results merge with one psum ('db' — each key exists on exactly
+    one rank, so psum(val * found) is exact).  No routing traffic, but
+    every rank gathers rows for ALL of its dp-group's queries, so
+    per-chip gather work grows ndb-fold; kept for small meshes and for
+    comparison.
+
 * long contigs in DB build shard the *sequence* axis along 'sp' with a
   (w-1)-base halo pulled from the right neighbor via ppermute — the
   blockwise-with-halo analog of ring attention for rolling encoders.
@@ -34,7 +53,10 @@ class ShardedClassifier:
     shard_map over a Mesh with axes ('dp', 'db')."""
 
     def __init__(self, db, tree, mesh, canonicalize: bool = True,
-                 input_type=None):
+                 input_type=None, route: str = "auto",
+                 capacity_factor: Optional[float] = None):
+        import os
+
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -51,43 +73,237 @@ class ShardedClassifier:
         self.enc = BatchEncoder(self.sp, canonicalize, "lex", input_type)
         self.ndb = mesh.shape.get("db", 1)
         self.ndp = mesh.shape.get("dp", 1)
+        if route == "auto":
+            route = "a2a" if self.ndb > 1 else "psum"
+        if route not in ("a2a", "psum"):
+            raise ValueError(f"unknown route {route!r}")
+        self.route = route
+        self.capacity_factor = float(
+            capacity_factor
+            if capacity_factor is not None
+            else os.environ.get("BONSAI_TPU_A2A_CF", 1.25)
+        )
 
         table = db.table
-        nb = table.nb
-        rows = _pad_rows_pow2(nb, self.ndb) * self.ndb
-        pad = rows - nb
         compact_vals = tree.compact(table.vals_sorted, missing_ok=True)
         # packed payload: orig taxid high u32, compact idx low u32
         packed = (
             table.vals_sorted.astype(np.uint64) << np.uint64(32)
         ) | compact_vals.astype(np.uint32).astype(np.uint64)
-        slots, vals, inline = table.arrays_np(packed)
-        if pad:
-            # pad rows are all-zero slot words: can never match (occupied
-            # bit unset, see table.py)
-            z = np.zeros((pad, slots.shape[1]), dtype=slots.dtype)
-            slots = np.concatenate([slots, z], axis=0)
-            if not inline:
-                vals = np.concatenate([vals, z], axis=0)
-        self._inline = inline
-
         shard_db = NamedSharding(mesh, P("db"))
         repl = NamedSharding(mesh, P())
-        self._slots = jax.device_put(jnp.asarray(slots), shard_db)
-        # unique-values table is tiny -> replicated; flat vals shard with
-        # their slots
-        self._vals = jax.device_put(
-            jnp.asarray(vals), repl if inline else shard_db
-        )
+        if route == "a2a" and self.ndb > 1:
+            from ..db.table import HashShardedTable
+
+            # routed responses pack (found:1 | compact:31) in the low word
+            assert len(tree.device_arrays()["tin"]) < (1 << 31)
+            self._htab = HashShardedTable(table, self.ndb)
+            slots, vals, inline = self._htab.arrays_np(packed)
+            self._inline = inline
+            self._slots = jax.device_put(jnp.asarray(slots), shard_db)
+            self._vals = jax.device_put(
+                jnp.asarray(vals), repl if inline else shard_db
+            )
+        else:
+            self._htab = None
+            nb = table.nb
+            rows = _pad_rows_pow2(nb, self.ndb) * self.ndb
+            pad = rows - nb
+            slots, vals, inline = table.arrays_np(packed)
+            if pad:
+                # pad rows are all-zero slot words: can never match
+                # (occupied bit unset, see table.py)
+                z = np.zeros((pad, slots.shape[1]), dtype=slots.dtype)
+                slots = np.concatenate([slots, z], axis=0)
+                if not inline:
+                    vals = np.concatenate([vals, z], axis=0)
+            self._inline = inline
+            self._slots = jax.device_put(jnp.asarray(slots), shard_db)
+            # unique-values table is tiny -> replicated; flat vals shard
+            # with their slots
+            self._vals = jax.device_put(
+                jnp.asarray(vals), repl if inline else shard_db
+            )
+            self._rows_per_shard = rows // self.ndb
         self._tax = {
             k: jax.device_put(v, repl) for k, v in tree.device_arrays().items()
         }
-        self._rows_per_shard = rows // self.ndb
         self._fns = {}
         self.n_classified = 0
         self.n_unclassified = 0
 
     def _build_fn(self, paired: bool = False):
+        if self.route == "a2a" and self.ndb > 1:
+            return self._build_fn_a2a(paired)
+        return self._build_fn_psum(paired)
+
+    def _build_fn_a2a(self, paired: bool = False):
+        """all_to_all-routed probe over hash-prefix sub-tables.
+
+        Reads shard over BOTH mesh axes; each device encodes its own
+        reads, routes each valid query to its owner rank over 'db',
+        probes the routed stream locally, and routes packed results back.
+        Per-chip row-gather volume per round = 2 * ndb * cap ~=
+        2 * capacity_factor * Q_local — flat in ndb (see
+        gather_rows_per_step)."""
+        import jax
+        import jax.numpy as jnp
+        shard_map = jax.shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..classify.resolve import resolve_batch
+        from ..db.table import probe_slots_device, shard_owner
+
+        enc = self.enc
+        mesh = self.mesh
+        ndb = self.ndb
+        lgnb, vbits = self._htab.lgnb, self._htab.vbits
+        inline = self._inline
+        tax = self._tax
+        cf = self.capacity_factor
+
+        U32 = jnp.uint64(0xFFFFFFFF)
+        LOW31 = jnp.uint64(0x7FFFFFFF)
+
+        def routed_probe(kq, vq, slots, vals):
+            """kq (Q,) u64 queries, vq (Q,) validity ->
+            (vc compact-idx i32, vo orig-taxid u32, found bool)."""
+            Q = kq.shape[0]
+            owner = shard_owner(kq, ndb, xp=jnp)
+            cap = max(int(np.ceil(Q / ndb * cf)), 1)
+            DUMP = ndb * cap
+            iota = jnp.arange(Q, dtype=jnp.uint64)
+            pos = jnp.arange(Q, dtype=jnp.int32)
+            SENT = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+            def body(state):
+                done, res, _ = state
+                pending = ~done
+                # group pending queries by owner, preserving index order
+                key = jnp.where(
+                    pending,
+                    (owner.astype(jnp.uint64) << jnp.uint64(32)) | iota,
+                    SENT,
+                )
+                skey = jnp.sort(key)
+                p_sorted = skey != SENT
+                sowner = (skey >> jnp.uint64(32)).astype(jnp.int32)
+                sidx = (skey & U32).astype(jnp.int32)
+                first = jnp.concatenate(
+                    [jnp.ones((1,), bool), sowner[1:] != sowner[:-1]]
+                )
+                run_start = jax.lax.associative_scan(
+                    jnp.maximum, jnp.where(first, pos, 0)
+                )
+                rank = pos - run_start
+                take = p_sorted & (rank < cap)
+                slot = jnp.where(take, sowner * cap + rank, DUMP)
+                safe_sidx = jnp.minimum(sidx, Q - 1)
+                send = (
+                    jnp.zeros((DUMP,), jnp.uint64)
+                    .at[slot]
+                    .set(
+                        jnp.where(take, kq[safe_sidx], jnp.uint64(0)),
+                        mode="drop",
+                    )
+                )
+                # where did query i go?  (DUMP = nowhere this round)
+                slotq = (
+                    jnp.full((Q,), DUMP, jnp.int32)
+                    .at[jnp.where(take, sidx, Q)]
+                    .set(slot, mode="drop")
+                )
+                recv = jax.lax.all_to_all(send, "db", 0, 0, tiled=True)
+                val, fnd = probe_slots_device(
+                    recv, slots, vals, inline, lgnb, vbits
+                )
+                # response word: orig taxid | found | compact idx
+                resp = (
+                    (val & ~U32)
+                    | (fnd.astype(jnp.uint64) << jnp.uint64(31))
+                    | (val & LOW31)
+                )
+                back = jax.lax.all_to_all(resp, "db", 0, 0, tiled=True)
+                back1 = jnp.concatenate([back, jnp.zeros((1,), jnp.uint64)])
+                got = back1[slotq]
+                newly = slotq < DUMP
+                res = jnp.where(newly, got, res)
+                done = done | newly
+                # all devices agree on the trip count (overflow rounds are
+                # rare; an idle round for a finished group sends zeros)
+                rem = jax.lax.psum(
+                    jnp.sum(~done, dtype=jnp.int32), ("dp", "db")
+                )
+                return done, res, rem
+
+            done0 = ~vq
+            # the carry varies per device: mark it so (shard_map vma typing)
+            res0 = jax.lax.pcast(
+                jnp.zeros((Q,), jnp.uint64), ("dp", "db"), to="varying"
+            )
+            rem0 = jax.lax.psum(jnp.sum(~done0, dtype=jnp.int32), ("dp", "db"))
+            done, res, _ = jax.lax.while_loop(
+                lambda st: st[2] > 0, body, (done0, res0, rem0)
+            )
+            vc = (res & LOW31).astype(jnp.int32)
+            vo = (res >> jnp.uint64(32)).astype(jnp.uint32)
+            found = ((res >> jnp.uint64(31)) & jnp.uint64(1)) != 0
+            return vc, vo, found
+
+        def local_step(codes, lengths, slots3, vals):
+            slots = slots3[0]  # local view (1, nb, SLOTS) -> (nb, SLOTS)
+            vals_l = vals if inline else vals[0]
+            em = enc.emissions(codes, lengths)
+            kmers, valid = em.values, em.mask
+            b, Pw = kmers.shape
+            if Pw:
+                vc, vo, found = routed_probe(
+                    kmers.reshape(-1), valid.reshape(-1), slots, vals_l
+                )
+                vc = vc.reshape(b, Pw)
+                vo = vo.reshape(b, Pw)
+                found = found.reshape(b, Pw)
+            else:
+                vc = jnp.zeros((b, 0), jnp.int32)
+                vo = jnp.zeros((b, 0), jnp.uint32)
+                found = jnp.zeros((b, 0), bool)
+            hit = valid & found
+            valid1 = valid.sum(-1).astype(jnp.int32)
+            if paired:
+                # adjacent rows are mates of one pair (the caller keeps
+                # the per-shard row count even)
+                B, P_ = hit.shape
+                hit = hit.reshape(B // 2, 2 * P_)
+                valid = valid.reshape(B // 2, 2 * P_)
+                vc = vc.reshape(B // 2, 2 * P_)
+                vo = vo.reshape(B // 2, 2 * P_)
+                valid1 = valid1[0::2]
+            miss = valid & ~hit
+            cidx = jnp.where(hit, vc, 0)
+            taxon_c = resolve_batch(cidx, hit, tax)
+            taxon = tax["tax_ids"][taxon_c]
+            return (
+                taxon,
+                jnp.where(hit, vo, 0),
+                hit,
+                miss.sum(-1).astype(jnp.int32),
+                valid.sum(-1).astype(jnp.int32),
+                valid1,
+            )
+
+        both = ("dp", "db")
+        fn = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(
+                P(both), P(both), P("db"),
+                P() if inline else P("db"),
+            ),
+            out_specs=(P(both),) * 6,
+        )
+        return jax.jit(fn)
+
+    def _build_fn_psum(self, paired: bool = False):
         import jax
         import jax.numpy as jnp
         shard_map = jax.shard_map
@@ -183,6 +399,21 @@ class ShardedClassifier:
         )
         return jax.jit(fn)
 
+    def gather_rows_per_step(self, n_reads: int, read_len: int,
+                             rounds: int = 1) -> int:
+        """Analytic per-CHIP slot-row gather count for one step over a
+        batch of n_reads reads of read_len bases (the probe's dominant
+        cost, PERF.md).  In a2a mode this is flat in ndb — the design
+        property the psum route lacks (its per-chip volume grows ndb-fold
+        at fixed chip count)."""
+        P = max(read_len - self.sp.c + 1, 0)
+        if self.route == "a2a" and self.ndb > 1:
+            q_local = -(-n_reads // (self.ndp * self.ndb)) * P
+            cap = max(int(np.ceil(q_local / self.ndb * self.capacity_factor)), 1)
+            return 2 * self.ndb * cap * rounds
+        # psum: every db rank gathers 2 rows per query of its dp group
+        return 2 * (-(-n_reads // self.ndp)) * P
+
     def step(self, codes, lengths, paired: bool = False):
         import jax.numpy as jnp
 
@@ -205,7 +436,8 @@ class ShardedClassifier:
 
         n = len(batch.names)
         Bp = Classifier._bucket_batch(n)
-        mult = self.ndp * 2 if paired else self.ndp
+        ranks = self.ndp * self.ndb if self.route == "a2a" else self.ndp
+        mult = ranks * 2 if paired else ranks
         if Bp % mult:
             Bp = ((Bp + mult - 1) // mult) * mult
         codes, lengths = batch.codes, batch.lengths

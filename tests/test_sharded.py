@@ -54,8 +54,18 @@ def setup():
     return db, tree, codes, lengths
 
 
-@pytest.mark.parametrize("dp,dbs", [(8, 1), (4, 2), (2, 4)])
-def test_sharded_matches_single(setup, dp, dbs):
+@pytest.mark.parametrize(
+    "dp,dbs,route",
+    [
+        (8, 1, "psum"),
+        (4, 2, "psum"),
+        (2, 4, "psum"),
+        (4, 2, "a2a"),
+        (2, 4, "a2a"),
+        (1, 8, "a2a"),
+    ],
+)
+def test_sharded_matches_single(setup, dp, dbs, route):
     db, tree, codes, lengths = setup
     single = Classifier(db, tree)
     import bonsai_tpu.io.fastx as fastx
@@ -67,13 +77,87 @@ def test_sharded_matches_single(setup, dp, dbs):
     ref = single.classify_batch(batch, full=True)
 
     mesh = make_mesh({"dp": dp, "db": dbs})
-    sc = ShardedClassifier(db, tree, mesh)
+    sc = ShardedClassifier(db, tree, mesh, route=route)
     taxon, taxa, hit, n_missing, n_kmers, n_kmers1 = sc.step(codes, lengths)
     np.testing.assert_array_equal(np.asarray(taxon), ref.taxon)
     np.testing.assert_array_equal(np.asarray(hit), ref.hit_mask)
     np.testing.assert_array_equal(np.asarray(n_missing), ref.n_missing)
     np.testing.assert_array_equal(
         np.asarray(taxa)[np.asarray(hit)], ref.taxa[ref.hit_mask]
+    )
+
+
+def test_a2a_gather_volume_flat_in_ndb(setup):
+    """The a2a route's defining property: per-chip row-gather volume does
+    not grow with ndb (the psum route's grows ndb-fold at fixed chip
+    count) — BASELINE's 'N chips deliver N chips of probe throughput'."""
+    db, tree, codes, lengths = setup
+    vols = {}
+    for dp, dbs in [(4, 2), (2, 4), (1, 8)]:
+        mesh = make_mesh({"dp": dp, "db": dbs})
+        sc = ShardedClassifier(db, tree, mesh, route="a2a")
+        vols[dbs] = sc.gather_rows_per_step(len(lengths), codes.shape[1])
+    base = vols[2]
+    for dbs, v in vols.items():
+        assert v <= base * 1.02, (dbs, vols)  # flat up to rounding
+    # and strictly below the psum design's volume at the same chip count
+    mesh = make_mesh({"dp": 2, "db": 4})
+    psum = ShardedClassifier(db, tree, mesh, route="psum")
+    assert vols[4] < psum.gather_rows_per_step(len(lengths), codes.shape[1]) / 2
+
+
+def test_a2a_skew_overflow_rounds(setup):
+    """Low-complexity reads send ALL their kmers to one owner rank,
+    overflowing any per-round capacity; the while_loop must re-route the
+    overflow in extra rounds with exact results."""
+    db, tree, _, _ = setup
+    # every read is one homopolymer: every kmer of a read has ONE owner
+    reads = [bytes([c]) * 120 for c in b"ACGT" for _ in range(8)]
+    from bonsai_tpu.core.alphabet import DNA4
+
+    codes = np.full((len(reads), 120), -1, dtype=np.int8)
+    for i, r in enumerate(reads):
+        codes[i] = DNA4.lut[np.frombuffer(r, dtype=np.uint8)]
+    lengths = np.full(len(reads), 120, dtype=np.int32)
+    import bonsai_tpu.io.fastx as fastx
+
+    single = Classifier(db, tree)
+    batch = fastx.ReadBatch(
+        names=[b""] * len(reads), seqs=[], codes=codes, lengths=lengths,
+        quals=None,
+    )
+    ref = single.classify_batch(batch, full=True)
+    mesh = make_mesh({"dp": 2, "db": 4})
+    # tiny capacity factor forces many overflow rounds even on random data
+    sc = ShardedClassifier(db, tree, mesh, route="a2a", capacity_factor=0.05)
+    taxon, taxa, hit, n_missing, n_kmers, _ = sc.step(codes, lengths)
+    np.testing.assert_array_equal(np.asarray(taxon), ref.taxon)
+    np.testing.assert_array_equal(np.asarray(hit), ref.hit_mask)
+    np.testing.assert_array_equal(np.asarray(n_missing), ref.n_missing)
+
+
+@pytest.mark.parametrize("route", ["psum", "a2a"])
+def test_sharded_paired_matches_single(setup, route):
+    db, tree, codes, lengths = setup
+    import bonsai_tpu.io.fastx as fastx
+
+    n = (len(lengths) // 2) * 2
+    codes, lengths = codes[:n], lengths[:n]
+    batch = fastx.ReadBatch(
+        names=[b""] * n, seqs=[b""] * n, codes=codes, lengths=lengths,
+        quals=None,
+    )
+    single = Classifier(db, tree)
+    ref = single.classify_batch(batch, paired=True, full=True)
+    mesh = make_mesh({"dp": 2, "db": 4})
+    sc = ShardedClassifier(db, tree, mesh, route=route)
+    res = sc.classify_batch(batch, paired=True)
+    np.testing.assert_array_equal(res.taxon, ref.taxon)
+    np.testing.assert_array_equal(res.n_missing, ref.n_missing)
+    np.testing.assert_array_equal(res.n_kmers, ref.n_kmers)
+    np.testing.assert_array_equal(res.n_kmers1, ref.n_kmers1)
+    np.testing.assert_array_equal(
+        res.taxa[res.hit_mask], ref.taxa[ref.hit_mask]
     )
 
 
