@@ -1,18 +1,26 @@
 #!/usr/bin/env python
-"""Classification throughput benchmark (driver entry).
+"""BASELINE-surface benchmark (driver entry).
 
-Builds (and caches) a k=31 canonical LCA database over the five E. coli
-genomes shipped in tests/data/ec/, then measures sustained classification
-throughput of the device pipeline (encode -> cuckoo probe -> interval-rank
-resolve) on HiSeq-like reads.
+Measures the three driver metrics (BASELINE.json) on the flagship
+workload and prints ONE JSON line:
 
-Prints ONE JSON line:
-  {"metric": "classify_reads_per_s", "value": N, "unit": "reads/s",
-   "vs_baseline": N / 1.0e7}
+* ``value`` / ``metric`` — classify reads/s on the in-repo
+  HiSeq_accuracy.fa (10000 real 92-101bp reads) through the REAL CLI
+  path (parse -> 2-bit packed upload -> device step -> RLE fetch ->
+  Kraken text), the BASELINE workload;
+* ``device_step_reads_per_s`` — sustained device-step throughput on
+  8192-read batches (the chip-capability number; continuity with
+  BENCH_r01/r02);
+* ``db_build_kmers_per_s`` — host DB build over the five ec genomes
+  (distinct kmers / wall; the build beats the reference's own khash
+  build, PERF.md);
+* ``taxid_agreement_pct`` — per-read taxid agreement vs the committed
+  reference-oracle golden on the same DB/reads (tests/data/golden/,
+  tools/golden_gen.py --kraken).
 
-Baseline anchor (BASELINE.md): bonsai ~= 500K reads/s/thread on the authors'
-CPU (20x Kraken-1's ~25K), so a 20-thread CPU run ~= 1.0e7 reads/s; the
-driver's target is >= 10x that on one TPU chip.
+Baseline denominator: round 2 MEASURED the compiled reference on this
+workload (tools/refbuild oracle): 111,487 reads/s on one CPU thread;
+vs_baseline divides by 20x that (perfect-scaling 20-thread assumption).
 """
 
 import json
@@ -24,16 +32,13 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_cache")
-# Round-1 used a 1e7 guess for "20-thread CPU bonsai".  Round 2 compiled the
-# reference (tools/refbuild) and MEASURED it on this exact workload (the
-# 10.4M-key ec k=31 DB, 101bp reads): 111,487 reads/s on 1 thread, 204,644
-# on 2 (all this host offers), near-linear scaling.  20-thread baseline =
-# 20 x the measured single-thread rate (generous: assumes perfect scaling).
 BASELINE_READS_PER_S = 111_487.0 * 20
 K = 31
 
 
-def get_db():
+def build_db():
+    """Fresh ec k=31 DB build (timed: the db_build metric), then cached
+    for the classify measurements."""
     sys.path.insert(0, REPO)
     import bonsai_tpu  # noqa: F401
     from bonsai_tpu.db.formats import Database, save_database, load_database
@@ -45,10 +50,6 @@ def get_db():
 
     taxonomy = {1: 0, 2: 1, 11: 2, 12: 2, 13: 2, 14: 2, 15: 2}
     tree = TaxTree(taxonomy)
-    path = os.path.join(CACHE, f"ec_k{K}.btpu")
-    if os.path.exists(path):
-        return load_database(path), tree
-    os.makedirs(CACHE, exist_ok=True)
     ecdir = os.path.join(REPO, "tests", "data", "ec")
     genomes = sorted(
         os.path.join(ecdir, f) for f in os.listdir(ecdir) if f.endswith(".fna.gz")
@@ -56,16 +57,49 @@ def get_db():
     name_map = {}
     for gi, g in enumerate(genomes):
         name_map[accession_from_header(fastx.first_header(g))] = 11 + gi
-    t0 = time.time()
-    table = lca_map(genomes, tree, name_map, Spacer(K, K), canonicalize=True)
-    print(f"# built DB: {len(table)} kmers in {time.time()-t0:.1f}s", file=sys.stderr)
+    # best of 2: this host's page cache + allocator warmth swing identical
+    # builds several-fold (PERF.md "DB-build" sections); the second run
+    # measures the pipeline, the first measures the disk
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        table = lca_map(
+            genomes, tree, name_map, Spacer(K, K), canonicalize=True
+        )
+        build_s = time.time() - t0
+        best = build_s if best is None else min(best, build_s)
+    kmers_per_s = len(table) / best
+    print(
+        f"# built DB: {len(table)} kmers in {best:.1f}s best-of-2 "
+        f"({kmers_per_s:,.0f} kmers/s)",
+        file=sys.stderr,
+    )
     db = Database(table=table, k=K, w=K, gaps=[0] * (K - 1))
-    save_database(db, path)
+    path = os.path.join(CACHE, f"ec_k{K}.btpu")
+    os.makedirs(CACHE, exist_ok=True)
+    if not os.path.exists(path):
+        save_database(db, path)
+    return db, tree, kmers_per_s
+
+
+def get_db():
+    """(db, tree) from cache when present (tools/ compatibility)."""
+    sys.path.insert(0, REPO)
+    import bonsai_tpu  # noqa: F401
+    from bonsai_tpu.db.formats import load_database
+    from bonsai_tpu.taxonomy.tree import TaxTree
+
+    path = os.path.join(CACHE, f"ec_k{K}.btpu")
+    tree = TaxTree({1: 0, 2: 1, 11: 2, 12: 2, 13: 2, 14: 2, 15: 2})
+    if os.path.exists(path):
+        return load_database(path), tree
+    db, tree, _ = build_db()
     return db, tree
 
 
-def make_reads(db, n_reads, read_len=101, seed=0):
-    """HiSeq-like reads sampled from the DB genomes (so probes mostly hit)."""
+def make_reads(n_reads, read_len=101, seed=0):
+    """HiSeq-like reads sampled from the DB genomes (so probes mostly
+    hit) — the device-step continuity workload from rounds 1-2."""
     from bonsai_tpu.io import fastx
     from bonsai_tpu.core.alphabet import DNA4
 
@@ -89,62 +123,121 @@ def make_reads(db, n_reads, read_len=101, seed=0):
     return codes, lengths
 
 
-def main():
-    batch = int(os.environ.get("BENCH_BATCH", 8192))
-    steps = int(os.environ.get("BENCH_STEPS", 30))
-    db, tree = get_db()
-
+def device_step_throughput(clf, batch, steps):
+    """Chained device-step reads/s (measurement discipline: every step
+    consumes the previous step's output — the tunneled runtime elides
+    repeated identical dispatches and returns from block_until_ready
+    before remote completion, tools/calibrate_timing.py)."""
     import jax
     import jax.numpy as jnp
-    from bonsai_tpu.classify.pipeline import Classifier
 
-    clf = Classifier(db, tree)
-    codes, lengths = make_reads(db, batch)
+    codes, lengths = make_reads(batch)
     jc = jnp.asarray(codes)
     jl = jnp.asarray(lengths)
     step = clf._step()
     slots, vals, _ = clf._arrays
 
-    # Measurement discipline for the tunneled chip (tools/calibrate_timing.py):
-    # (1) identical repeated dispatches get elided by the remote runtime, so
-    #     every step must consume the previous step's output (chained);
-    # (2) block_until_ready returns before remote execution completes, so
-    #     sync by fetching one element.
     @jax.jit
     def chained(jc, jl, slots, vals, salt):
-        # fold the previous step's taxa into the read codes' pad region:
-        # a real data dependency with negligible cost.  Both step outputs
-        # (compact RLE + full positional matrix) stay live, matching what
-        # the CLI pipeline computes per batch.
         jc = jc.at[:, -1].set((salt[: jc.shape[0]] % 4).astype(jc.dtype))
         return step(jc, jl, slots, vals)
 
     salt = jnp.zeros(batch, dtype=jnp.uint32)
     out = chained(jc, jl, slots, vals, salt)
     np.asarray(out[0].ravel()[:1])  # sync
-    # the runtime needs ~20 executions of a fresh executable before hitting
-    # steady state; warm up unmeasured (still chained / content-fresh)
+    # a fresh executable runs ~4x slower for its first ~20 dispatches
     for _ in range(25):
         out = chained(jc, jl, slots, vals, out[0][:, 0])
     np.asarray(out[0].ravel()[:1])
     t0 = time.time()
     for _ in range(steps):
-        out = chained(jc, jl, slots, vals, out[0][:, 0])  # taxon column
-    np.asarray(out[0].ravel()[:1])  # sync
+        out = chained(jc, jl, slots, vals, out[0][:, 0])
+    np.asarray(out[0].ravel()[:1])
     dt = time.time() - t0
-    reads_per_s = batch * steps / dt
+    return batch * steps / dt
+
+
+def cli_hiseq_throughput(db, tree, passes):
+    """End-to-end CLI-path reads/s on HiSeq_accuracy.fa, plus taxid
+    agreement vs the committed oracle golden."""
+    import gzip
+    import hashlib
+    import io
+
+    from bonsai_tpu.classify.pipeline import Classifier
+
+    reads = os.path.join(
+        REPO, "tests", "data", "kraken_benchmarks", "HiSeq_accuracy.fa"
+    )
+    batch = int(os.environ.get("BENCH_CLI_BATCH", 8192))
+    clf = Classifier(db, tree, emit_all=True)
+    out = io.StringIO()
+    clf.process_dataset(reads, out, batch_size=batch)  # warm (compiles)
+    text = out.getvalue()
+    n_reads = text.count("\n")
+    t0 = time.time()
+    for _ in range(passes):
+        sink = io.StringIO()
+        clf.process_dataset(reads, sink, batch_size=batch)
+    dt = time.time() - t0
+    rps = n_reads * passes / dt
+
+    # taxid agreement vs the oracle golden (committed by golden_gen.py)
+    gold = os.path.join(REPO, "tests", "data", "golden", "HiSeq_taxids.tsv.gz")
+    agreement = None
+    if os.path.exists(gold):
+        with gzip.open(gold, "rt") as fh:
+            want = dict(
+                (l.split("\t")[0], int(l.split("\t")[1]))
+                for l in fh
+                if l.strip()
+            )
+        n = agree = 0
+        for line in text.splitlines():
+            f = line.split("\t")
+            if len(f) >= 3:
+                n += 1
+                agree += int(want.get(f[1]) == int(f[2]))
+        agreement = 100.0 * agree / max(n, 1)
+    return rps, agreement
+
+
+def main():
+    steps = int(os.environ.get("BENCH_STEPS", 30))
+    passes = int(os.environ.get("BENCH_CLI_PASSES", 5))
+    db, tree, build_kmers_per_s = build_db()
+
+    import jax
+
+    from bonsai_tpu.classify.pipeline import Classifier
+
+    clf = Classifier(db, tree)
+    batch = int(os.environ.get("BENCH_BATCH", 8192))
+    step_rps = device_step_throughput(clf, batch, steps)
     print(
-        f"# {steps} steps x {batch} reads in {dt:.3f}s on "
-        f"{jax.devices()[0].platform}",
+        f"# device step: {step_rps:,.0f} reads/s "
+        f"({steps} x {batch} chained on {jax.devices()[0].platform})",
+        file=sys.stderr,
+    )
+    cli_rps, agreement = cli_hiseq_throughput(db, tree, passes)
+    print(
+        f"# CLI HiSeq: {cli_rps:,.0f} reads/s ({passes} passes); "
+        f"taxid agreement vs oracle: {agreement}",
         file=sys.stderr,
     )
     print(
         json.dumps(
             dict(
-                metric="classify_reads_per_s",
-                value=round(reads_per_s, 1),
+                metric="cli_hiseq_reads_per_s",
+                value=round(cli_rps, 1),
                 unit="reads/s",
-                vs_baseline=round(reads_per_s / BASELINE_READS_PER_S, 4),
+                vs_baseline=round(cli_rps / BASELINE_READS_PER_S, 4),
+                device_step_reads_per_s=round(step_rps, 1),
+                device_step_vs_baseline=round(
+                    step_rps / BASELINE_READS_PER_S, 4
+                ),
+                db_build_kmers_per_s=round(build_kmers_per_s, 1),
+                taxid_agreement_pct=agreement,
             )
         )
     )

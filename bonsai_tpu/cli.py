@@ -248,6 +248,24 @@ def main(argv=None):
     p.add_argument("-C", "--no-canon", action="store_true")
 
     p = sub.add_parser(
+        "distmat",
+        help="genomes -> pairwise distance matrix (.tsv + .npy), the "
+             "run_dist.py + distmat2np.py workflow (python/run_dist.py)",
+    )
+    p.add_argument("paths", nargs="+")
+    p.add_argument("-k", type=int, default=31)
+    p.add_argument("-o", "--out", required=True,
+                   help="output prefix (writes PREFIX.tsv, PREFIX.npy, "
+                   "PREFIX.labels.txt)")
+    p.add_argument("--metric", default="jaccard",
+                   choices=["jaccard", "intersection", "union",
+                            "containment", "mash"])
+    p.add_argument("--hll", type=int, metavar="P", default=0,
+                   help="estimate with HyperLogLog(p=P) sketches instead "
+                   "of exact sets (run_dist's sketch mode)")
+    p.add_argument("-C", "--no-canon", action="store_true")
+
+    p = sub.add_parser(
         "rolling-multk", aliases=["rolling_multk"],
         help="multi-k rolling-hash distinct counts (bin/rolling_multk.cpp)",
     )
@@ -561,6 +579,78 @@ def _cmd_setsketch(args):
         union.merge(s)
     print(f"union cardinality: {union.cardinality():.1f}", file=sys.stderr)
     union.write(args.out)
+    return 0
+
+
+def _cmd_distmat(args):
+    """Worked equivalent of the reference's distance-matrix analysis
+    pipeline (/root/reference/python/run_dist.py:1 drives external
+    sketchers into flat distance files; distmat2np.py:1 parses them into
+    an (n, n) numpy matrix): sketch every input genome at k, compute the
+    pairwise matrix in-process, write PREFIX.tsv (labeled), PREFIX.npy
+    (the distmat2np output), and PREFIX.labels.txt.
+
+    --metric mash converts Jaccard j to the Mash distance
+    -ln(2j/(1+j))/k (the `mash dist` output run_dist.py collects);
+    --hll P estimates via HyperLogLog union cardinalities instead of
+    exact sets."""
+    import os
+
+    import numpy as np
+
+    from .core import hashes
+    from .core.spacer import Spacer
+    from .db.build import genome_kmer_set
+    from .sketch import compare
+
+    sp = Spacer(args.k, args.k)
+    canon = not args.no_canon
+    sets = [genome_kmer_set(p, sp, canon) for p in args.paths]
+    n = len(sets)
+    want_j = args.metric in ("jaccard", "mash")
+    if args.hll:
+        from .sketch.hll import HyperLogLog
+
+        hlls = []
+        for s in sets:
+            h = HyperLogLog(args.hll)
+            h.addh(s)
+            hlls.append(h)
+        card = np.array([h.report() for h in hlls])
+        mat = np.zeros((n, n), dtype=np.float64)
+        for i in range(n):
+            mat[i, i] = 1.0 if want_j else card[i]
+            for j in range(i + 1, n):
+                u = hlls[i].merge(hlls[j]).report()
+                inter = max(card[i] + card[j] - u, 0.0)
+                v = {
+                    "jaccard": inter / max(u, 1e-12),
+                    "mash": inter / max(u, 1e-12),
+                    "intersection": inter,
+                    "union": u,
+                    "containment": inter / max(card[i], 1e-12),
+                }[args.metric]
+                mat[i, j] = mat[j, i] = v
+    else:
+        m = "jaccard" if want_j else args.metric
+        mat = compare.pairwise_matrix(sets, metric=m)
+    if args.metric == "mash":
+        with np.errstate(divide="ignore"):
+            j = np.clip(mat, 1e-300, 1.0)
+            mat = -np.log(2.0 * j / (1.0 + j)) / args.k
+        np.fill_diagonal(mat, 0.0)
+    labels = [os.path.basename(p) for p in args.paths]
+    with open(args.out + ".tsv", "w") as fh:
+        fh.write("#genome\t" + "\t".join(labels) + "\n")
+        for i, lab in enumerate(labels):
+            fh.write(lab + "\t" + "\t".join(f"{v:.8g}" for v in mat[i]) + "\n")
+    np.save(args.out + ".npy", mat.astype(np.float32))
+    with open(args.out + ".labels.txt", "w") as fh:
+        fh.write("\n".join(labels) + "\n")
+    print(
+        f"wrote {n}x{n} {args.metric} matrix to {args.out}.npy/.tsv",
+        file=sys.stderr,
+    )
     return 0
 
 

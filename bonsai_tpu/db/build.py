@@ -533,11 +533,23 @@ def lca_map(
     if isinstance(name_map, str):
         name_map = parse_nameid_map(name_map)
     builder = IncrementalLCABuilder(tree, checkpoint_path)
-    for p in builder.pending(list(paths)):
-        taxid = taxid_for_path(p, name_map)
-        kset = genome_kmer_set(p, sp, canonicalize, scheme, input_type,
-                               use_device=use_device, block=block)
-        builder.add_genome(p, taxid, kset)
+    pending = builder.pending(list(paths))
+    # genome extraction farm (the reference's std::async fill_set_genome
+    # pool, feature_min.h:93-171): the native kmer-set kernel releases
+    # the GIL, so a small thread pool overlaps parsing/extraction across
+    # genomes; fold-in stays in submission order (LCA-merge is
+    # associative+commutative, so content is order-independent anyway).
+    import concurrent.futures as cf
+
+    workers = min(4, max(len(pending), 1), os.cpu_count() or 1)
+    with cf.ThreadPoolExecutor(workers) as pool:
+        futs = [
+            pool.submit(genome_kmer_set, p, sp, canonicalize, scheme,
+                        input_type, use_device=use_device, block=block)
+            for p in pending
+        ]
+        for p, f in zip(pending, futs):
+            builder.add_genome(p, taxid_for_path(p, name_map), f.result())
     if checkpoint_path is not None:
         builder.save_checkpoint()
     return builder.finish()

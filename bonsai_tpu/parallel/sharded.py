@@ -92,6 +92,19 @@ class ShardedClassifier:
         ) | compact_vals.astype(np.uint32).astype(np.uint64)
         shard_db = NamedSharding(mesh, P("db"))
         repl = NamedSharding(mesh, P())
+        multiproc = any(
+            d.process_index != jax.process_index()
+            for d in mesh.devices.flat
+        )
+
+        def gput(arr, sharding):
+            if multiproc:
+                a = np.asarray(arr)
+                return jax.make_array_from_callback(
+                    a.shape, sharding, lambda idx: a[idx]
+                )
+            return jax.device_put(jnp.asarray(arr), sharding)
+
         if route == "a2a" and self.ndb > 1:
             from ..db.table import HashShardedTable
 
@@ -100,10 +113,8 @@ class ShardedClassifier:
             self._htab = HashShardedTable(table, self.ndb)
             slots, vals, inline = self._htab.arrays_np(packed)
             self._inline = inline
-            self._slots = jax.device_put(jnp.asarray(slots), shard_db)
-            self._vals = jax.device_put(
-                jnp.asarray(vals), repl if inline else shard_db
-            )
+            self._slots = gput(slots, shard_db)
+            self._vals = gput(vals, repl if inline else shard_db)
         else:
             self._htab = None
             nb = table.nb
@@ -118,15 +129,14 @@ class ShardedClassifier:
                 if not inline:
                     vals = np.concatenate([vals, z], axis=0)
             self._inline = inline
-            self._slots = jax.device_put(jnp.asarray(slots), shard_db)
+            self._slots = gput(slots, shard_db)
             # unique-values table is tiny -> replicated; flat vals shard
             # with their slots
-            self._vals = jax.device_put(
-                jnp.asarray(vals), repl if inline else shard_db
-            )
+            self._vals = gput(vals, repl if inline else shard_db)
             self._rows_per_shard = rows // self.ndb
         self._tax = {
-            k: jax.device_put(v, repl) for k, v in tree.device_arrays().items()
+            k: gput(np.asarray(v), repl)
+            for k, v in tree.device_arrays().items()
         }
         self._fns = {}
         self.n_classified = 0
@@ -414,14 +424,37 @@ class ShardedClassifier:
         # psum: every db rank gathers 2 rows per query of its dp group
         return 2 * (-(-n_reads // self.ndp)) * P
 
-    def step(self, codes, lengths, paired: bool = False):
-        import jax.numpy as jnp
+    @property
+    def _multiprocess(self) -> bool:
+        import jax
 
+        return any(
+            d.process_index != jax.process_index()
+            for d in self.mesh.devices.flat
+        )
+
+    def _to_global(self, x):
+        """Host batch array -> device array.  Single-process: plain
+        transfer (jit shards it).  Multi-process: every process holds the
+        same full host batch; build the global Array from per-shard
+        callbacks (jax.distributed runtime, SURVEY §2.10)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if not self._multiprocess:
+            return jnp.asarray(x)
+        spec = P(("dp", "db")) if self.route == "a2a" else P("dp")
+        sh = NamedSharding(self.mesh, spec)
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    def step(self, codes, lengths, paired: bool = False):
         if paired not in self._fns:
             self._fns[paired] = self._build_fn(paired)
         return self._fns[paired](
-            jnp.asarray(codes),
-            jnp.asarray(lengths),
+            self._to_global(codes),
+            self._to_global(lengths),
             self._slots,
             self._vals,
         )

@@ -70,3 +70,37 @@ def test_bonsai_format_cli(taxfiles):
 
     db = import_bonsai_database(dbp)
     assert db.k == 25 and len(db.table) > 1000
+
+
+def test_distmat_workflow(tmp_path):
+    """run_dist.py + distmat2np.py equivalent: pairwise matrix over
+    genomes, .npy + labeled .tsv outputs, exact and HLL-estimated."""
+    import numpy as np
+    from bonsai_tpu.cli import main
+
+    g = [
+        os.path.join(DATA, "golden", f)
+        for f in ("g_phix.fa", "g_phixmut.fa", "g_rand.fa")
+    ]
+    if not all(os.path.exists(p) for p in g):
+        import pytest
+
+        pytest.skip("golden fixtures absent")
+    out = str(tmp_path / "dm")
+    assert main(["distmat", *g, "-k", "21", "-o", out]) == 0
+    mat = np.load(out + ".npy")
+    labels = open(out + ".labels.txt").read().split()
+    assert mat.shape == (3, 3) and labels[0] == "g_phix.fa"
+    assert np.allclose(mat, mat.T) and np.allclose(np.diag(mat), 1.0)
+    # phix vs its 1%-mutated copy is far closer than vs random sequence
+    assert mat[0, 1] > 0.2 > mat[0, 2]
+    # mash distance flips the ordering (distance, not similarity)
+    assert main(["distmat", *g, "-k", "21", "-o", out + "m",
+                 "--metric", "mash"]) == 0
+    dm = np.load(out + "m.npy")
+    assert dm[0, 1] < dm[0, 2] and np.allclose(np.diag(dm), 0.0)
+    # HLL-sketched estimate tracks the exact Jaccard
+    assert main(["distmat", *g, "-k", "21", "-o", out + "h",
+                 "--hll", "12"]) == 0
+    hm = np.load(out + "h.npy")
+    assert abs(hm[0, 1] - mat[0, 1]) < 0.1

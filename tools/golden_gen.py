@@ -158,12 +158,148 @@ def run(cmd, **kw):
     return r
 
 
+EC_NODES = (
+    "1\t|\t1\t|\tno rank\t|\n"
+    "2\t|\t1\t|\tgenus\t|\n"
+    "11\t|\t2\t|\tstrain\t|\n"
+    "12\t|\t2\t|\tstrain\t|\n"
+    "13\t|\t2\t|\tstrain\t|\n"
+    "14\t|\t2\t|\tstrain\t|\n"
+    "15\t|\t2\t|\tstrain\t|\n"
+)
+
+
+def write_ec_k12_reads(path: str, n_reads: int = 10003,
+                       read_len: int = 101) -> None:
+    """Deterministic regeneration of a `test/ec.k12.fa`-style read set
+    (the reference's copy is a missing large blob,
+    /root/reference/.MISSING_LARGE_BLOBS:1): reads sampled from the
+    in-repo K-12 genome with light mutations and occasional Ns, every
+    read's truth taxid = 11 (genus ancestor = 2)."""
+    import numpy as np
+
+    k12 = os.path.join(DATA, "ec", "GCF_000005845.2_ASM584v2_genomic.fna.gz")
+    seq = read_fasta_body(k12).upper().encode()
+    arr = np.frombuffer(seq, dtype=np.uint8)
+    rng = np.random.default_rng(20260819)
+    bases = np.array(list(b"ACGT"), dtype=np.uint8)
+    lines = []
+    for i in range(n_reads):
+        p = int(rng.integers(0, len(arr) - read_len))
+        r = arr[p : p + read_len].copy()
+        # ~0.5%/base substitutions, ~3% of reads carry one N
+        mut = rng.random(read_len) < 0.005
+        r[mut] = bases[rng.integers(0, 4, int(mut.sum()))]
+        if rng.random() < 0.03:
+            r[int(rng.integers(0, read_len))] = ord("N")
+        lines.append(f">ec.k12.{i}.{p}\n{r.tobytes().decode()}\n")
+    with open(path, "wb") as raw:
+        with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as z:
+            z.write("".join(lines).encode())
+
+
+def taxid_column(classify_output: bytes) -> bytes:
+    """name\ttaxid lines from Kraken-format output (cols 2 and 3)."""
+    out = []
+    for line in classify_output.decode().splitlines():
+        f = line.split("\t")
+        if len(f) >= 3:
+            out.append(f"{f[1]}\t{f[2]}")
+    return ("\n".join(out) + "\n").encode()
+
+
+def gen_kraken(manifest: dict) -> None:
+    """Oracle goldens for the flagship accuracy sets: ec k=31 DB content
+    digest + byte digests and per-read taxid columns of the oracle's
+    classification of HiSeq/MiSeq (10003 reads each,
+    /root/reference/kraken_benchmarks/) and the regenerated ec.k12 read
+    set — the round-2 'byte-identical on the full sets' claim becomes a
+    committed regression (VERDICT r2 #4), and taxid agreement % becomes
+    computable offline (VERDICT r2 #3/#5)."""
+    kb = os.path.join(DATA, "kraken_benchmarks")
+    ecdir = os.path.join(DATA, "ec")
+    genomes = sorted(
+        os.path.join(ecdir, f) for f in os.listdir(ecdir)
+        if f.endswith(".fna.gz")
+    )
+    nodes = os.path.join(GOLD, "ec_nodes.dmp")
+    with open(nodes, "w") as fh:
+        fh.write(EC_NODES)
+    nameid = os.path.join(GOLD, "ec_nameidmap.txt")
+    with open(nameid, "w") as fh:
+        for gi, g in enumerate(genomes):
+            op = gzip.open if g.endswith(".gz") else open
+            with op(g, "rt") as gfh:
+                acc = gfh.readline()[1:].split()[0]
+            fh.write(f"{acc}\t{11 + gi}\n")
+    eck12 = os.path.join(GOLD, "ec_k12_reads.fa.gz")
+    if not os.path.exists(eck12):
+        write_ec_k12_reads(eck12)
+    tmp = os.path.join(GOLD, "_ktmp")
+    os.makedirs(tmp, exist_ok=True)
+    dbp = os.path.join(tmp, "ec_k31.db")
+    run([ORACLE, "build", "-k", "31", "-p", "2", "-T", nodes, "-M", nameid,
+         dbp, "IGNORED", *genomes])
+    entry = {
+        "db_digest": db_digest(dbp),
+        "k": 31,
+        "nodes": "ec_nodes.dmp",
+        "nameid": "ec_nameidmap.txt",
+        "genomes": [os.path.basename(g) for g in genomes],
+        "sets": {},
+    }
+    print("ec_k31 db", entry["db_digest"][:16])
+    sets = {
+        "HiSeq": os.path.join(kb, "HiSeq_accuracy.fa"),
+        "MiSeq": os.path.join(kb, "MiSeq_accuracy.fa"),
+        "ec_k12": eck12,
+    }
+    for name, reads in sets.items():
+        if reads.endswith(".gz"):
+            # the oracle reads gz transparently
+            pass
+        out = os.path.join(tmp, f"{name}.tsv")
+        run([ORACLE, "classify", "-p", "2", "-a", "-o", out, dbp, nodes,
+             reads])
+        with open(out, "rb") as fh:
+            data = fh.read()
+        sha = hashlib.sha256(data).hexdigest()
+        col = taxid_column(data)
+        colfn = f"{name}_taxids.tsv.gz"
+        with open(os.path.join(GOLD, colfn), "wb") as raw:
+            with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as z:
+                z.write(col)
+        entry["sets"][name] = {
+            "reads": os.path.relpath(reads, DATA),
+            "sha256": sha,
+            "taxids": colfn,
+            "n_lines": data.count(b"\n"),
+        }
+        print(f"{name}: sha256={sha[:16]} ({data.count(b'\n')} lines)")
+    manifest["kraken"] = entry
+    import shutil
+
+    shutil.rmtree(tmp)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="also run the ec corpus")
+    ap.add_argument("--kraken", action="store_true",
+                    help="only (re)generate the HiSeq/MiSeq/ec.k12 goldens "
+                    "into the existing manifest")
     args = ap.parse_args()
     if not os.path.exists(ORACLE):
         run(["make", "-C", os.path.join(REPO, "tools", "refbuild")])
+    if args.kraken:
+        mf_path = os.path.join(GOLD, "manifest.json")
+        with open(mf_path) as fh:
+            manifest = json.load(fh)
+        gen_kraken(manifest)
+        with open(mf_path, "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        print("kraken goldens written to", GOLD)
+        return 0
     fx = write_fixtures()
     nodes = os.path.join(GOLD, "nodes.dmp")
     nameid = os.path.join(GOLD, "nameidmap.txt")

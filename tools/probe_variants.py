@@ -43,7 +43,7 @@ def main():
     batch = 8192
     db, tree = bench.get_db()
     clf = Classifier(db, tree)
-    codes, lengths = bench.make_reads(db, batch)
+    codes, lengths = bench.make_reads(batch)
     table = db.table
     enc = clf.enc
     tax = clf._tax

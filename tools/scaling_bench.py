@@ -66,7 +66,7 @@ def main():
     db_shards = int(os.environ.get("SHARD_DB", 1))
     route = os.environ.get("ROUTE", "auto")
     B = int(os.environ.get("BENCH_BATCH", 8192))
-    codes, lengths = bench_mod.make_reads(db, B)
+    codes, lengths = bench_mod.make_reads(B)
     L = codes.shape[1]
     widths = [w for w in (1, 2, 4, 8, 16, 32) if w <= n]
     base = None

@@ -37,7 +37,7 @@ def main():
     B = int(os.environ.get("B", 32768))
     db, tree = bench_mod.get_db()
     clf = Classifier(db, tree)
-    codes, lengths = bench_mod.make_reads(db, B)
+    codes, lengths = bench_mod.make_reads(B)
     jc = jnp.asarray(codes)
     jl = jnp.asarray(lengths)
     slots, vals, inline = clf._arrays
