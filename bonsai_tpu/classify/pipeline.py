@@ -123,6 +123,10 @@ class Classifier:
         import os as _os
 
         self.max_runs = int(_os.environ.get("BONSAI_TPU_MAX_RUNS", 16))
+        # after this many full-matrix fallbacks, double max_runs (one
+        # recompile) so run-rich datasets stop paying the big fetch
+        self._overflow_batches = 0
+        self._overflow_bump_after = 3
 
     # -- jitted device step ----------------------------------------------
     def _make_step(self, paired: bool = False):
@@ -344,7 +348,10 @@ class Classifier:
             self._arrays[0],
             self._arrays[1],
         )
-        return compact, full, Lp
+        # max_runs may be bumped between dispatch and finish (adaptive
+        # overflow handling under pipelining): record the dispatch-time
+        # capacity with the in-flight output
+        return compact, full, Lp, self.max_runs
 
     def _finish_batch(
         self, batch: fastx.ReadBatch, out, paired: bool = False,
@@ -352,12 +359,11 @@ class Classifier:
     ) -> BatchResult:
         n = len(batch.names)
         R = n // 2 if paired else n
-        compact_dev, full_dev, Lp = out
+        compact_dev, full_dev, Lp, maxr = out
         # fetch the (much smaller) compact matrix in one transfer; trim on
         # host (a device-side out[:n] would compile a fresh slice op per
         # batch size).  The full positional matrix stays on device unless
         # some read overflows the run capacity.
-        maxr = self.max_runs
         cm = np.asarray(compact_dev)[:R]
         taxon = cm[:, 0]
         n_missing = cm[:, 1].astype(np.int32)
@@ -365,7 +371,20 @@ class Classifier:
         n_kmers1 = cm[:, 3].astype(np.int32)
         n_runs = cm[:, 4]
         taxa = hit = run_vals = run_lens = None
-        if force_full or (n_runs.size and int(n_runs.max()) > maxr):
+        overflowed = bool(n_runs.size and int(n_runs.max()) > maxr)
+        if overflowed and not force_full:
+            # run-rich dataset: after a few full-matrix fallbacks, double
+            # the device-side run capacity (one recompile) so later
+            # batches go back to the small compact fetch
+            self._overflow_batches += 1
+            if (
+                self._overflow_batches >= self._overflow_bump_after
+                and self.max_runs < 64
+            ):
+                self.max_runs = self.max_runs * 2
+                self._step_cache.clear()
+                self._overflow_batches = 0
+        if force_full or overflowed:
             # rare: some read has > maxr runs; fetch the positional matrix
             P = Lp - self.sp.c + 1
             P = max(P, 0)
@@ -445,14 +464,19 @@ class Classifier:
         """Classify a FASTA/FASTQ file (optionally paired) and write text
         output (process_dataset, classifier.h:296-337).
 
-        One-batch-deep pipeline: batch i+1 is parsed and dispatched to the
-        device before batch i's results are materialized and formatted, so
-        host parse/format overlaps device compute (the reference overlaps
-        via its thread pool; JAX's async dispatch gives the same shape).
+        Pipelined: the main thread parses and dispatches batches (keeping
+        up to two in flight on the device), while a writer thread
+        materializes results and formats/writes text — so device compute,
+        the host<->device fetch, and host parse/format all overlap (the
+        reference overlaps via its kt_forpool thread pool; here JAX's
+        async dispatch + one consumer thread give the same shape).
+        Output order is preserved by the queue.
 
         With profile=True, per-stage wall times (parse / dispatch /
         materialize / format) accumulate in self.stage_seconds and print to
         stderr at the end (TIME_CODE-style observability, SURVEY §5)."""
+        import queue as _queue
+        import threading as _threading
         import time as _time
 
         is_paired = mate_path is not None
@@ -468,22 +492,42 @@ class Classifier:
         ))
         n_reads = 0
         t_all = t()
-        pending = None  # (batch, device_out)
-        while True:
-            t0 = t()
-            batch = next(it, None)
-            stats["parse"] += t() - t0
-            if batch is None:
-                break
-            n_reads += len(batch.names)
-            t0 = t()
-            out = self._dispatch_batch(batch, is_paired)
-            stats["dispatch"] += t() - t0
-            if pending is not None:
-                self._write_result(out_fh, *pending, is_paired)
-            pending = (batch, out)
-        if pending is not None:
-            self._write_result(out_fh, *pending, is_paired)
+        q: _queue.Queue = _queue.Queue(maxsize=2)
+        err: list = []
+
+        def writer():
+            try:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        return
+                    self._write_result(out_fh, *item, is_paired)
+            except BaseException as e:  # surface in the main thread
+                err.append(e)
+                while q.get() is not None:  # drain so producer unblocks
+                    pass
+
+        wt = _threading.Thread(target=writer, daemon=True)
+        wt.start()
+        try:
+            while True:
+                t0 = t()
+                batch = next(it, None)
+                stats["parse"] += t() - t0
+                if batch is None:
+                    break
+                if err:
+                    raise err[0]
+                n_reads += len(batch.names)
+                t0 = t()
+                out = self._dispatch_batch(batch, is_paired)
+                stats["dispatch"] += t() - t0
+                q.put((batch, out))
+        finally:
+            q.put(None)
+            wt.join()
+        if err:
+            raise err[0]
         if profile:
             total = t() - t_all
             import sys as _sys

@@ -63,6 +63,11 @@ def _add_build(sub, name, aliases):
     p.add_argument("--device-build", action="store_true",
                    help="run the k-mer fold on the accelerator "
                         "(db/build_device.py sort-based pipeline)")
+    p.add_argument("--shards", type=int, default=0, metavar="N",
+                   help="write OUT_PATH as a DIRECTORY of N hash-prefix "
+                        "shard files + manifest (each pod host loads only "
+                        "its 'db'-rank shards; partition matches the "
+                        "all_to_all routed probe)")
     return p
 
 
@@ -311,10 +316,17 @@ def _cmd_classify(args):
     from .db.formats import load_database, import_bonsai_database
     from .taxonomy.tree import TaxTree
 
-    try:
-        db = load_database(args.db)
-    except ValueError:
-        db = import_bonsai_database(args.db)
+    import os
+
+    if os.path.isdir(args.db):
+        from .db.formats import load_database_sharded
+
+        db = load_database_sharded(args.db)
+    else:
+        try:
+            db = load_database(args.db)
+        except ValueError:
+            db = import_bonsai_database(args.db)
     tree = TaxTree.from_nodes_dmp(args.tax_path)
     if args.distributed:
         from .parallel.mesh import init_distributed
@@ -420,7 +432,12 @@ def _cmd_build(args):
         else:
             table = lca_map(paths, tree, args.seq2tax, sp, canon, scheme)
     db = Database(table=table, k=k, w=w, gaps=gaps, canonicalize=canon, scheme=scheme)
-    if args.bonsai_format:
+    if args.shards:
+        from .db.formats import save_database_sharded
+
+        save_database_sharded(db, args.out_path, args.shards,
+                              compress="gz" if args.gzip else None)
+    elif args.bonsai_format:
         write_bonsai_database(db, args.out_path, compress=args.gzip)
     else:
         save_database(db, args.out_path, compress="gz" if args.gzip else None)

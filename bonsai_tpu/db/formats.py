@@ -108,6 +108,76 @@ def load_database(path: str) -> Database:
     )
 
 
+# -- sharded on-disk layout ---------------------------------------------------
+
+def save_database_sharded(db: Database, dirpath: str, ndb: int,
+                          compress: Optional[str] = None) -> None:
+    """Write the DB as ndb per-shard files + a JSON manifest (SURVEY §5
+    checkpoint/persistence: 'flat arrays in a sharded on-disk layout').
+
+    The partition is the HASH-PREFIX ownership used by the all_to_all
+    routed probe (db/table.py shard_owner), so a pod host serving 'db'
+    rank s loads exactly shard-s.btpu and nothing else — DB load I/O
+    scales with 1/ndb per host."""
+    import os
+
+    from .table import shard_owner
+
+    os.makedirs(dirpath, exist_ok=True)
+    keys, vals = db.table.keys_sorted, db.table.vals_sorted
+    owner = shard_owner(keys, ndb)
+    ext = ".btpu.gz" if compress == "gz" else ".btpu"
+    shard_files = []
+    for s in range(ndb):
+        m = owner == s
+        sub = Database(
+            table=KmerTable(keys[m], vals[m]), k=db.k, w=db.w,
+            gaps=db.gaps, canonicalize=db.canonicalize, scheme=db.scheme,
+            meta=db.meta,
+        )
+        fn = f"shard-{s:05d}{ext}"
+        save_database(sub, os.path.join(dirpath, fn), compress)
+        shard_files.append(fn)
+    manifest = dict(
+        format="bonsai-tpu-sharded-v1",
+        ndb=ndb,
+        n=int(db.table.n),
+        k=db.k, w=db.w, gaps=list(db.gaps),
+        canonicalize=bool(db.canonicalize), scheme=db.scheme,
+        partition="splitmix64-prefix",  # shard_owner(key, ndb)
+        shards=shard_files,
+        meta=db.meta,
+    )
+    with open(os.path.join(dirpath, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+
+
+def load_database_sharded(dirpath: str,
+                          ranks: Optional[List[int]] = None) -> Database:
+    """Load a sharded DB directory (all shards, or only `ranks` — the
+    per-host subset on a pod).  Shard key ranges interleave, so the
+    merged keys are re-sorted (cheap: concatenation of sorted runs)."""
+    import os
+
+    with open(os.path.join(dirpath, "manifest.json")) as fh:
+        mf = json.load(fh)
+    if mf.get("format") != "bonsai-tpu-sharded-v1":
+        raise ValueError(f"not a sharded DB dir: {dirpath}")
+    which = range(mf["ndb"]) if ranks is None else ranks
+    parts = [
+        load_database(os.path.join(dirpath, mf["shards"][s])) for s in which
+    ]
+    keys = np.concatenate([p.table.keys_sorted for p in parts])
+    vals = np.concatenate([p.table.vals_sorted for p in parts])
+    order = np.argsort(keys, kind="stable")
+    table = KmerTable(keys[order], vals[order])
+    return Database(
+        table=table, k=mf["k"], w=mf["w"], gaps=mf["gaps"],
+        canonicalize=mf.get("canonicalize", True),
+        scheme=mf.get("scheme", "lex"), meta=mf.get("meta", {}),
+    )
+
+
 # -- bonsai khash image -------------------------------------------------------
 
 def _kh_hash(keys: np.ndarray) -> np.ndarray:

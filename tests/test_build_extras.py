@@ -162,3 +162,27 @@ def test_fold_runs_matches_fold_pairs(small_tree):
     uk, want_counts = np.unique(keys, return_counts=True)
     np.testing.assert_array_equal(got_k2, uk)
     np.testing.assert_array_equal(counts, want_counts)
+
+
+def test_sharded_on_disk_layout(tmp_path):
+    """save/load of the per-shard DB directory: round-trip equality, and
+    rank-subset loads contain exactly the hash-prefix-owned keys."""
+    import numpy as np
+    from bonsai_tpu.db.formats import (
+        Database, load_database_sharded, save_database_sharded,
+    )
+    from bonsai_tpu.db.table import KmerTable, shard_owner
+
+    rng = np.random.default_rng(5)
+    keys = np.unique(rng.integers(0, 1 << 40, size=20000, dtype=np.uint64))
+    vals = rng.integers(1, 99, size=len(keys)).astype(np.uint32)
+    db = Database(table=KmerTable(keys, vals), k=20, w=20, gaps=[0] * 19)
+    d = str(tmp_path / "sharded")
+    save_database_sharded(db, d, ndb=4)
+    back = load_database_sharded(d)
+    np.testing.assert_array_equal(back.table.keys_sorted, keys)
+    np.testing.assert_array_equal(back.table.vals_sorted, vals)
+    assert (back.k, back.w) == (20, 20)
+    one = load_database_sharded(d, ranks=[2])
+    own = shard_owner(keys, 4)
+    np.testing.assert_array_equal(one.table.keys_sorted, keys[own == 2])

@@ -120,7 +120,7 @@ def encode_slots_disp(table, packed_vals):
     return slots, uniq, int(DISPBIT), stats
 
 
-def make_steps(clf, slots_d, uniq_d, dispbit, cap_frac):
+def make_steps(clf, slots_d, uniq_d, dispbit, cap_frac, sort_compact=False):
     """v1 step: b1 gather + dispbit-gated compacted b2 gather."""
     import jax
     import jax.numpy as jnp
@@ -128,6 +128,7 @@ def make_steps(clf, slots_d, uniq_d, dispbit, cap_frac):
     from bonsai_tpu.core import hashes as hsh
     from bonsai_tpu.db.table import SLOTS, KmerTable, BSALT
 
+    SORT_COMPACT = sort_compact
     table = clf.db.table
     enc = clf.enc
     tax = clf._tax
@@ -165,9 +166,23 @@ def make_steps(clf, slots_d, uniq_d, dispbit, cap_frac):
         rowoff = jnp.cumsum(rowsum) - rowsum
         pos = rowoff[:, None] + inrow
         idx = jnp.where(need.reshape(R, C), pos, CAP).reshape(-1)
-        sendq = (
-            jnp.zeros(CAP + 1, jnp.uint64).at[idx].set(kq, mode="drop")
-        )[:CAP]
+        if SORT_COMPACT:
+            # scatter-free: sort (need?iota:BIG) ascending; the first
+            # n_need entries are the needing lanes in iota order — the
+            # same compact order as the cumsum ranks
+            iota = jnp.arange(Q, dtype=jnp.uint64)
+            skey = jnp.sort(
+                jnp.where(need, iota, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+            )[:CAP]
+            sidx = jnp.minimum(skey, jnp.uint64(Q - 1)).astype(jnp.int32)
+            sendq = jnp.where(
+                skey != jnp.uint64(0xFFFFFFFFFFFFFFFF), kq[sidx],
+                jnp.uint64(0),
+            )
+        else:
+            sendq = (
+                jnp.zeros(CAP + 1, jnp.uint64).at[idx].set(kq, mode="drop")
+            )[:CAP]
         # recompute b2 for the compact stream (compute is free)
         h2 = hsh.splitmix64(sendq)
         b1c, qc, b2c = KmerTable._split(h2, lgnb, xp=jnp)
@@ -284,6 +299,9 @@ def main():
         fn = make_steps(clf, slots_d, uniq_d, dispbit, frac)
         variants.append((f"v1 lazy-b2 cap={frac}", fn,
                          (jc, jl, slots_d, uniq_d), 0))
+    fn = make_steps(clf, slots_d, uniq_d, dispbit, 0.125, sort_compact=True)
+    variants.append(("v2 lazy-b2 sort cap=0.125", fn,
+                     (jc, jl, slots_d, uniq_d), 0))
 
     # correctness first: lazy-b2 must match the production step exactly
     ref = np.asarray(v0fn(jc, jl, s0, v0))[:, :3]
