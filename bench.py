@@ -159,10 +159,16 @@ def device_step_throughput(clf, batch, steps):
 
 def cli_hiseq_throughput(db, tree, passes):
     """End-to-end CLI-path reads/s on HiSeq_accuracy.fa, plus taxid
-    agreement vs the committed oracle golden."""
+    agreement vs the committed oracle golden.
+
+    Throughput is measured as ONE process_dataset stream over `passes`
+    concatenated copies of the read set (steady state: the 10k-read file
+    alone spans only two batches, which measures executable warm-up and
+    pipeline drain, not the pipeline)."""
     import gzip
     import hashlib
     import io
+    import tempfile
 
     from bonsai_tpu.classify.pipeline import Classifier
 
@@ -175,11 +181,21 @@ def cli_hiseq_throughput(db, tree, passes):
     clf.process_dataset(reads, out, batch_size=batch)  # warm (compiles)
     text = out.getvalue()
     n_reads = text.count("\n")
-    t0 = time.time()
-    for _ in range(passes):
+    with open(reads, "rb") as fh:
+        blob = fh.read()
+    with tempfile.NamedTemporaryFile(suffix=".fa", delete=False) as tmp:
+        for i in range(passes):
+            tmp.write(blob)
+        big = tmp.name
+    try:
         sink = io.StringIO()
-        clf.process_dataset(reads, sink, batch_size=batch)
-    dt = time.time() - t0
+        clf.process_dataset(big, sink, batch_size=batch)  # warm the shapes
+        sink = io.StringIO()
+        t0 = time.time()
+        clf.process_dataset(big, sink, batch_size=batch)
+        dt = time.time() - t0
+    finally:
+        os.unlink(big)
     rps = n_reads * passes / dt
 
     # taxid agreement vs the oracle golden (committed by golden_gen.py)
@@ -204,7 +220,7 @@ def cli_hiseq_throughput(db, tree, passes):
 
 def main():
     steps = int(os.environ.get("BENCH_STEPS", 30))
-    passes = int(os.environ.get("BENCH_CLI_PASSES", 5))
+    passes = int(os.environ.get("BENCH_CLI_PASSES", 20))
     db, tree, build_kmers_per_s = build_db()
 
     import jax

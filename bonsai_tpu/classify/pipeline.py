@@ -239,9 +239,32 @@ class Classifier:
                 axis=1,
                 dtype=jnp.uint32,
             )
-            compact = jnp.concatenate(
-                [head, n_runs[:, None], run_vals, run_lens], axis=1
-            )
+            W_ = hit.shape[1]
+            if W_ < (1 << 15):
+                # packed compact layout (all counters and run lengths are
+                # < 2^16 because the per-read position count W fits 15
+                # bits): [taxon | miss|kmers<<16 | kmers1|n_runs<<16 |
+                # run_vals*maxr | lens packed 2/u32] — 60B/read at
+                # maxr=8 vs 148B unpacked; the device->host fetch is the
+                # warm-CLI bottleneck (PERF.md host-pipeline rounds)
+                u16 = jnp.uint32(0xFFFF)
+                h1 = (head[:, 1] & u16) | (head[:, 2] << 16)
+                h2 = (head[:, 3] & u16) | (n_runs << 16)
+                lens_even = run_lens[:, 0::2]
+                lens_odd = run_lens[:, 1::2]
+                if maxr % 2:
+                    lens_odd = jnp.concatenate(
+                        [lens_odd, jnp.zeros((R2, 1), jnp.uint32)], axis=1
+                    )
+                lens_packed = (lens_even & u16) | (lens_odd << 16)
+                compact = jnp.concatenate(
+                    [head[:, :1], h1[:, None], h2[:, None], run_vals,
+                     lens_packed], axis=1,
+                )
+            else:
+                compact = jnp.concatenate(
+                    [head, n_runs[:, None], run_vals, run_lens], axis=1
+                )
             return compact, full
 
         return jax.jit(step)
@@ -365,11 +388,29 @@ class Classifier:
         # batch size).  The full positional matrix stays on device unless
         # some read overflows the run capacity.
         cm = np.asarray(compact_dev)[:R]
-        taxon = cm[:, 0]
-        n_missing = cm[:, 1].astype(np.int32)
-        n_kmers = cm[:, 2].astype(np.int32)
-        n_kmers1 = cm[:, 3].astype(np.int32)
-        n_runs = cm[:, 4]
+        P_pad = max(Lp - self.sp.c + 1, 0)
+        W_pad = 2 * P_pad if paired else P_pad
+        if W_pad < (1 << 15):
+            # packed layout (see _make_step): u16 counters + paired lens
+            taxon = cm[:, 0]
+            n_missing = (cm[:, 1] & 0xFFFF).astype(np.int32)
+            n_kmers = (cm[:, 1] >> 16).astype(np.int32)
+            n_kmers1 = (cm[:, 2] & 0xFFFF).astype(np.int32)
+            n_runs = cm[:, 2] >> 16
+            rv = cm[:, 3 : 3 + maxr]
+            lp = cm[:, 3 + maxr : 3 + maxr + (maxr + 1) // 2]
+            rl = np.empty((cm.shape[0], 2 * ((maxr + 1) // 2)), np.uint32)
+            rl[:, 0::2] = lp & 0xFFFF
+            rl[:, 1::2] = lp >> 16
+            rl = rl[:, :maxr]
+        else:
+            taxon = cm[:, 0]
+            n_missing = cm[:, 1].astype(np.int32)
+            n_kmers = cm[:, 2].astype(np.int32)
+            n_kmers1 = cm[:, 3].astype(np.int32)
+            n_runs = cm[:, 4]
+            rv = cm[:, 5 : 5 + maxr]
+            rl = cm[:, 5 + maxr : 5 + 2 * maxr]
         taxa = hit = run_vals = run_lens = None
         overflowed = bool(n_runs.size and int(n_runs.max()) > maxr)
         if overflowed and not force_full:
@@ -417,8 +458,8 @@ class Classifier:
                     taxa = taxa[:, :Wt]
                     hit = hit[:, :Wt]
         else:
-            run_vals = cm[:, 5 : 5 + maxr]
-            run_lens = cm[:, 5 + maxr : 5 + 2 * maxr]
+            run_vals = rv
+            run_lens = rl
             n_runs = n_runs.astype(np.int32)
         self.n_classified += int((taxon != 0).sum())
         self.n_unclassified += int((taxon == 0).sum())

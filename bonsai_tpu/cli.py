@@ -318,10 +318,12 @@ def _cmd_classify(args):
 
     import os
 
+    db = None
     if os.path.isdir(args.db):
         from .db.formats import load_database_sharded
 
-        db = load_database_sharded(args.db)
+        if not args.db_shards:
+            db = load_database_sharded(args.db)
     else:
         try:
             db = load_database(args.db)
@@ -337,8 +339,15 @@ def _cmd_classify(args):
         from .parallel.sharded import ShardedClassifier
 
         mesh = default_mesh(db_shards=args.db_shards)
-        clf = ShardedClassifier(db, tree, mesh,
-                                canonicalize=not args.no_canon)
+        if db is None:
+            # sharded DB directory + sharded mesh: each process loads
+            # only its addressable 'db' ranks' shard files
+            clf = ShardedClassifier.from_sharded_dir(
+                args.db, tree, mesh, canonicalize=not args.no_canon
+            )
+        else:
+            clf = ShardedClassifier(db, tree, mesh,
+                                    canonicalize=not args.no_canon)
         out = open(args.out, "w") if args.out else sys.stdout
         try:
             clf.process_dataset(args.reads, out, mate_path=args.mate,

@@ -128,6 +128,7 @@ def save_database_sharded(db: Database, dirpath: str, ndb: int,
     owner = shard_owner(keys, ndb)
     ext = ".btpu.gz" if compress == "gz" else ".btpu"
     shard_files = []
+    shard_n = []
     for s in range(ndb):
         m = owner == s
         sub = Database(
@@ -138,10 +139,12 @@ def save_database_sharded(db: Database, dirpath: str, ndb: int,
         fn = f"shard-{s:05d}{ext}"
         save_database(sub, os.path.join(dirpath, fn), compress)
         shard_files.append(fn)
+        shard_n.append(int(m.sum()))
     manifest = dict(
         format="bonsai-tpu-sharded-v1",
         ndb=ndb,
         n=int(db.table.n),
+        shard_n=shard_n,
         k=db.k, w=db.w, gaps=list(db.gaps),
         canonicalize=bool(db.canonicalize), scheme=db.scheme,
         partition="splitmix64-prefix",  # shard_owner(key, ndb)

@@ -226,20 +226,24 @@ class KmerTable:
 
     # -- derived probe arrays ----------------------------------------------
     def _encode_slots(self, vals_aligned: np.ndarray,
-                      uniq: Optional[np.ndarray] = None):
+                      uniq: Optional[np.ndarray] = None,
+                      allow_inline: bool = True):
         """(slots (nb, SLOTS) u64, vals, inline) for values aligned to
         keys_sorted.
 
         ``uniq`` optionally provides a shared sorted unique-values array
         (hash-sharded tables encode every shard against one global value
-        table so val_idx is consistent across shards)."""
+        table so val_idx is consistent across shards).
+        ``allow_inline=False`` forces the flat slot-indexed value array
+        (shards loaded independently per process cannot agree on a global
+        unique-values table)."""
         vals_aligned = np.asarray(vals_aligned)
         v64 = vals_aligned.astype(np.uint64)
         if uniq is None:
             uniq = np.unique(v64) if self.n else np.zeros(1, np.uint64)
         if uniq.size == 0:
             uniq = np.zeros(1, np.uint64)
-        inline = uniq.size <= (1 << self.vbits)
+        inline = allow_inline and uniq.size <= (1 << self.vbits)
         occ = self.occ_mask
         words = np.zeros(self.nb * SLOTS, dtype=np.uint64)
         if self.n:

@@ -36,6 +36,7 @@ Sharding policy (SURVEY §2.10 / §5 "Distributed communication backend"):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -423,6 +424,130 @@ class ShardedClassifier:
             return 2 * self.ndb * cap * rounds
         # psum: every db rank gathers 2 rows per query of its dp group
         return 2 * (-(-n_reads // self.ndp)) * P
+
+    @classmethod
+    def from_sharded_dir(cls, dirpath: str, tree, mesh,
+                         canonicalize: bool = True, input_type=None,
+                         capacity_factor: Optional[float] = None):
+        """Pod-scale constructor: each PROCESS loads only the shard files
+        of its addressable 'db' ranks from a `build --shards N` directory
+        (db/formats.py save_database_sharded) — DB load I/O and host RAM
+        scale with 1/ndb per host.  The on-disk partition is the same
+        hash-prefix ownership the a2a probe routes by, so a shard file
+        maps 1:1 onto a 'db' rank.  Output is identical to the in-memory
+        ShardedClassifier (route="a2a")."""
+        import json
+
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..core.alphabet import InputType
+        from ..core.encoder import BatchEncoder
+        from ..core.spacer import Spacer
+        from ..db.formats import Database, load_database
+        from ..db.table import SLOTS, KmerTable, MAX_LOAD, _next_pow2
+
+        with open(os.path.join(dirpath, "manifest.json")) as fh:
+            mf = json.load(fh)
+        ndb = mesh.shape.get("db", 1)
+        if mf["ndb"] != ndb or ndb < 2:
+            # shard-count mismatch (or trivial mesh): merge-load instead
+            from ..db.formats import load_database_sharded
+
+            return cls(load_database_sharded(dirpath), tree, mesh,
+                       canonicalize, input_type,
+                       capacity_factor=capacity_factor)
+        self = cls.__new__(cls)
+        self.mesh = mesh
+        self.tree = tree
+        self.ndb = ndb
+        self.ndp = mesh.shape.get("dp", 1)
+        self.route = "a2a"
+        self.capacity_factor = float(
+            capacity_factor
+            if capacity_factor is not None
+            else os.environ.get("BONSAI_TPU_A2A_CF", 1.25)
+        )
+        input_type = InputType.DNA if input_type is None else input_type
+        k, w, gaps = mf["k"], mf["w"], mf["gaps"]
+        self.db = Database(
+            table=KmerTable(np.zeros(0, np.uint64), np.zeros(0, np.uint32)),
+            k=k, w=w, gaps=gaps,
+            canonicalize=mf.get("canonicalize", True),
+            scheme=mf.get("scheme", "lex"), meta=mf.get("meta", {}),
+        )
+        self.sp = Spacer(k, k, gaps)
+        self.enc = BatchEncoder(self.sp, canonicalize, "lex", input_type)
+
+        # geometry must agree across processes without seeing foreign
+        # shards: derive the common bucket count from the manifest counts
+        nmax = max(max(mf["shard_n"]), 1)
+        nb = max(_next_pow2(int(np.ceil(nmax / (SLOTS * MAX_LOAD)))), 4)
+        cache = {}
+
+        def shard_arrays(s: int):
+            if s not in cache:
+                part = load_database(os.path.join(dirpath, mf["shards"][s]))
+                tbl = KmerTable(part.table.keys_sorted,
+                                part.table.vals_sorted, min_nb=nb)
+                if tbl.nb != nb:
+                    raise RuntimeError(
+                        f"shard {s} required bucket growth ({tbl.nb} != "
+                        f"{nb}); rebuild the sharded DB with more shards"
+                    )
+                vals = part.table.vals_sorted
+                packed = (
+                    vals.astype(np.uint64) << np.uint64(32)
+                ) | tree.compact(vals, missing_ok=True).astype(
+                    np.uint32
+                ).astype(np.uint64)
+                # per-process loading cannot agree on a global unique-
+                # values table: use the flat slot-indexed value array
+                slots, flat, inline = tbl._encode_slots(
+                    packed, allow_inline=False
+                )
+                assert not inline
+                cache[s] = (slots, flat)
+            return cache[s]
+
+        shard_db = NamedSharding(mesh, P("db"))
+        repl = NamedSharding(mesh, P())
+        shape = (ndb, nb, SLOTS)
+        self._slots = jax.make_array_from_callback(
+            shape, shard_db, lambda idx: shard_arrays(idx[0].start)[0][None]
+        )
+        self._vals = jax.make_array_from_callback(
+            shape, shard_db, lambda idx: shard_arrays(idx[0].start)[1][None]
+        )
+        cache.clear()
+
+        class _Geom:
+            pass
+
+        self._htab = _Geom()
+        self._htab.nb = nb
+        self._htab.lgnb = int(np.log2(nb))
+        self._htab.vbits = max(self._htab.lgnb - 2, 0)
+        self._inline = False
+        multiproc = any(
+            d.process_index != jax.process_index()
+            for d in mesh.devices.flat
+        )
+        tax = {}
+        for kk, v in tree.device_arrays().items():
+            a = np.asarray(v)
+            if multiproc:
+                tax[kk] = jax.make_array_from_callback(
+                    a.shape, repl, lambda idx, a=a: a[idx]
+                )
+            else:
+                tax[kk] = jax.device_put(jnp.asarray(a), repl)
+        self._tax = tax
+        self._fns = {}
+        self.n_classified = 0
+        self.n_unclassified = 0
+        return self
 
     @property
     def _multiprocess(self) -> bool:

@@ -222,3 +222,37 @@ def test_sharded_classify_batch_and_dataset(tmp_path, ec_db_tree=None):
     sharded.process_dataset(str(fq), out2, emit_all=True)
     assert out1.getvalue() == out2.getvalue()
     assert sharded.n_classified == single.n_classified
+
+
+def test_from_sharded_dir_matches_single(setup, tmp_path):
+    """Pod-style lazy shard loading: a ShardedClassifier built from a
+    `build --shards N` directory (per-rank shard files, flat value
+    arrays, geometry agreed via the manifest) matches the single-device
+    classifier exactly."""
+    from bonsai_tpu.db.formats import save_database_sharded
+
+    db, tree, codes, lengths = setup
+    d = str(tmp_path / "sh")
+    save_database_sharded(db, d, ndb=4)
+    single = Classifier(db, tree)
+    import bonsai_tpu.io.fastx as fastx
+
+    batch = fastx.ReadBatch(
+        names=[b""] * len(lengths), seqs=[], codes=codes, lengths=lengths,
+        quals=None,
+    )
+    ref = single.classify_batch(batch, full=True)
+    mesh = make_mesh({"dp": 2, "db": 4})
+    sc = ShardedClassifier.from_sharded_dir(d, tree, mesh)
+    taxon, taxa, hit, n_missing, n_kmers, _ = sc.step(codes, lengths)
+    np.testing.assert_array_equal(np.asarray(taxon), ref.taxon)
+    np.testing.assert_array_equal(np.asarray(hit), ref.hit_mask)
+    np.testing.assert_array_equal(np.asarray(n_missing), ref.n_missing)
+    np.testing.assert_array_equal(
+        np.asarray(taxa)[np.asarray(hit)], ref.taxa[ref.hit_mask]
+    )
+    # shard-count mismatch falls back to merge-load, still exact
+    mesh2 = make_mesh({"dp": 4, "db": 2})
+    sc2 = ShardedClassifier.from_sharded_dir(d, tree, mesh2)
+    taxon2 = sc2.step(codes, lengths)[0]
+    np.testing.assert_array_equal(np.asarray(taxon2), ref.taxon)

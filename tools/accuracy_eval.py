@@ -36,10 +36,16 @@ def load_expected(path):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("db")
-    ap.add_argument("tax_path")
+    ap.add_argument("db", nargs="?", default=None)
+    ap.add_argument("tax_path", nargs="?", default=None)
     ap.add_argument("--set", dest="which", default="HiSeq",
-                    choices=["HiSeq", "MiSeq"])
+                    choices=["HiSeq", "MiSeq", "ec_k12"])
+    ap.add_argument("--offline", action="store_true",
+                    help="no-arguments mode: build the in-repo ec k=31 DB "
+                    "+ mini taxonomy (tests/data/golden/ec_nodes.dmp) and "
+                    "score the regenerated ec.k12 read set against its "
+                    "ground truth (every read is from K-12, taxid 11) and "
+                    "against the committed oracle taxid column")
     ap.add_argument("--data-dir",
                     default=os.path.join(REPO, "tests", "data",
                                          "kraken_benchmarks"))
@@ -50,6 +56,49 @@ def main():
     from bonsai_tpu.io import fastx
     from bonsai_tpu.taxonomy.tree import TaxTree
 
+    if args.offline:
+        import gzip
+
+        gold = os.path.join(REPO, "tests", "data", "golden")
+        ecdir = os.path.join(REPO, "tests", "data", "ec")
+        from bonsai_tpu.core.spacer import Spacer
+        from bonsai_tpu.db.build import lca_map
+        from bonsai_tpu.db.formats import Database
+
+        tree = TaxTree.from_nodes_dmp(os.path.join(gold, "ec_nodes.dmp"))
+        genomes = sorted(
+            os.path.join(ecdir, f) for f in os.listdir(ecdir)
+            if f.endswith(".fna.gz")
+        )
+        table = lca_map(genomes, tree,
+                        os.path.join(gold, "ec_nameidmap.txt"),
+                        Spacer(31, 31), canonicalize=True)
+        db = Database(table=table, k=31, w=31, gaps=[0] * 30)
+        clf = Classifier(db, tree)
+        reads_fa = os.path.join(gold, "ec_k12_reads.fa.gz")
+        with gzip.open(os.path.join(gold, "ec_k12_taxids.tsv.gz"),
+                       "rt") as fh:
+            oracle = dict((l.split("\t")[0], int(l.split("\t")[1]))
+                          for l in fh if l.strip())
+        n = o_agree = exact = genus = uncls = 0
+        ec_clade = {2, 11, 12, 13, 14, 15}
+        for batch in fastx.batch_reads(reads_fa, clf.lut, batch_size=4096):
+            res = clf.classify_batch(batch)
+            for name, got in zip(batch.names, res.taxon):
+                n += 1
+                got = int(got)
+                o_agree += int(oracle.get(name.decode()) == got)
+                exact += int(got == 11)
+                genus += int(got in ec_clade)
+                uncls += int(got == 0)
+        print(f"set=ec_k12 reads={n} (ground truth: K-12, taxid 11)")
+        print(f"taxid agreement vs reference oracle: {o_agree/n:.2%}")
+        print(f"exact-strain={exact/n:.2%} clade-compatible={genus/n:.2%} "
+              f"unclassified={uncls/n:.2%}")
+        return 0
+
+    if not args.db or not args.tax_path:
+        ap.error("db and tax_path are required without --offline")
     try:
         db = load_database(args.db)
     except ValueError:
