@@ -256,3 +256,26 @@ def test_from_sharded_dir_matches_single(setup, tmp_path):
     sc2 = ShardedClassifier.from_sharded_dir(d, tree, mesh2)
     taxon2 = sc2.step(codes, lengths)[0]
     np.testing.assert_array_equal(np.asarray(taxon2), ref.taxon)
+
+
+def test_from_sharded_dir_paired(setup, tmp_path):
+    from bonsai_tpu.db.formats import save_database_sharded
+
+    db, tree, codes, lengths = setup
+    n = (len(lengths) // 2) * 2
+    codes, lengths = codes[:n], lengths[:n]
+    d = str(tmp_path / "shp")
+    save_database_sharded(db, d, ndb=2)
+    import bonsai_tpu.io.fastx as fastx
+
+    batch = fastx.ReadBatch(
+        names=[b""] * n, seqs=[b""] * n, codes=codes, lengths=lengths,
+        quals=None,
+    )
+    ref = Classifier(db, tree).classify_batch(batch, paired=True, full=True)
+    mesh = make_mesh({"dp": 4, "db": 2})
+    sc = ShardedClassifier.from_sharded_dir(d, tree, mesh)
+    res = sc.classify_batch(batch, paired=True)
+    np.testing.assert_array_equal(res.taxon, ref.taxon)
+    np.testing.assert_array_equal(res.n_missing, ref.n_missing)
+    np.testing.assert_array_equal(res.n_kmers1, ref.n_kmers1)
