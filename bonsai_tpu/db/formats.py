@@ -82,20 +82,33 @@ def save_database(db: Database, path: str, compress: Optional[str] = None):
         fh.write(db.table.vals_sorted.astype(db.table.vals_sorted.dtype.newbyteorder("<")).tobytes())
 
 
-def load_database(path: str) -> Database:
+def read_database_arrays(path: str):
+    """(header, keys, vals) without building the probe layout — shard
+    loaders that rebuild the table with a forced geometry use this to
+    avoid paying cuckoo placement twice."""
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rb") as fh:
         magic = fh.read(len(MAGIC))
         if magic != MAGIC:
-            # Not native: fall through to the reference khash image
-            # (database.h:33-56) so `classify` consumes bonsai DBs directly.
-            return import_bonsai_database(path)
+            return None
         (hlen,) = struct.unpack("<I", fh.read(4))
         header = json.loads(fh.read(hlen))
         n = header["n"]
         keys = np.frombuffer(fh.read(8 * n), dtype="<u8").astype(np.uint64)
         vdt = np.dtype(header["val_dtype"])
-        vals = np.frombuffer(fh.read(vdt.itemsize * n), dtype=vdt.newbyteorder("<")).astype(vdt)
+        vals = np.frombuffer(
+            fh.read(vdt.itemsize * n), dtype=vdt.newbyteorder("<")
+        ).astype(vdt)
+    return header, keys, vals
+
+
+def load_database(path: str) -> Database:
+    got = read_database_arrays(path)
+    if got is None:
+        # Not native: fall through to the reference khash image
+        # (database.h:33-56) so `classify` consumes bonsai DBs directly.
+        return import_bonsai_database(path)
+    header, keys, vals = got
     table = KmerTable(keys, vals)
     return Database(
         table=table,

@@ -445,7 +445,7 @@ class ShardedClassifier:
         from ..core.alphabet import InputType
         from ..core.encoder import BatchEncoder
         from ..core.spacer import Spacer
-        from ..db.formats import Database, load_database
+        from ..db.formats import Database
         from ..db.table import SLOTS, KmerTable, MAX_LOAD, _next_pow2
 
         with open(os.path.join(dirpath, "manifest.json")) as fh:
@@ -488,15 +488,17 @@ class ShardedClassifier:
 
         def shard_arrays(s: int):
             if s not in cache:
-                part = load_database(os.path.join(dirpath, mf["shards"][s]))
-                tbl = KmerTable(part.table.keys_sorted,
-                                part.table.vals_sorted, min_nb=nb)
+                from ..db.formats import read_database_arrays
+
+                _, keys, vals = read_database_arrays(
+                    os.path.join(dirpath, mf["shards"][s])
+                )
+                tbl = KmerTable(keys, vals, min_nb=nb)
                 if tbl.nb != nb:
                     raise RuntimeError(
                         f"shard {s} required bucket growth ({tbl.nb} != "
                         f"{nb}); rebuild the sharded DB with more shards"
                     )
-                vals = part.table.vals_sorted
                 packed = (
                     vals.astype(np.uint64) << np.uint64(32)
                 ) | tree.compact(vals, missing_ok=True).astype(

@@ -279,3 +279,23 @@ def test_from_sharded_dir_paired(setup, tmp_path):
     np.testing.assert_array_equal(res.taxon, ref.taxon)
     np.testing.assert_array_equal(res.n_missing, ref.n_missing)
     np.testing.assert_array_equal(res.n_kmers1, ref.n_kmers1)
+
+
+def test_a2a_non_pow2_shards(setup):
+    """shard_owner is a fixed-point range partition, so ndb need not be a
+    power of two (mesh dp=2 x db=3 uses 6 of the 8 virtual devices)."""
+    db, tree, codes, lengths = setup
+    single = Classifier(db, tree)
+    import bonsai_tpu.io.fastx as fastx
+
+    batch = fastx.ReadBatch(
+        names=[b""] * len(lengths), seqs=[], codes=codes, lengths=lengths,
+        quals=None,
+    )
+    ref = single.classify_batch(batch, full=True)
+    mesh = make_mesh({"dp": 2, "db": 3})
+    sc = ShardedClassifier(db, tree, mesh, route="a2a")
+    taxon, taxa, hit, n_missing, _, _ = sc.step(codes, lengths)
+    np.testing.assert_array_equal(np.asarray(taxon), ref.taxon)
+    np.testing.assert_array_equal(np.asarray(hit), ref.hit_mask)
+    np.testing.assert_array_equal(np.asarray(n_missing), ref.n_missing)
