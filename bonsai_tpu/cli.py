@@ -31,6 +31,11 @@ def _add_classify(sub):
     p.add_argument("--db-shards", type=int, default=0,
                    help="shard the table over a 'db' mesh axis across "
                         "devices (0 = single-device pipeline)")
+    p.add_argument("--route", default="auto",
+                   choices=["auto", "a2a", "psum"],
+                   help="sharded-probe strategy: a2a = all_to_all routed "
+                        "(per-chip gather volume flat in shard count, "
+                        "default); psum = range-sharded merge")
     p.add_argument("--distributed", action="store_true",
                    help="join the multi-host runtime first "
                         "(JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
@@ -347,7 +352,8 @@ def _cmd_classify(args):
             )
         else:
             clf = ShardedClassifier(db, tree, mesh,
-                                    canonicalize=not args.no_canon)
+                                    canonicalize=not args.no_canon,
+                                    route=args.route)
         out = open(args.out, "w") if args.out else sys.stdout
         try:
             clf.process_dataset(args.reads, out, mate_path=args.mate,

@@ -299,3 +299,60 @@ def test_a2a_non_pow2_shards(setup):
     np.testing.assert_array_equal(np.asarray(taxon), ref.taxon)
     np.testing.assert_array_equal(np.asarray(hit), ref.hit_mask)
     np.testing.assert_array_equal(np.asarray(n_missing), ref.n_missing)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_a2a_fuzz_vs_single(trial):
+    """Property fuzz: random k / read lengths / N rate / mesh split /
+    capacity factor / canonicalization / spacing — a2a must match the
+    single-device classifier exactly."""
+    rng = np.random.default_rng(100 + trial)
+    k = int(rng.choice([13, 19, 23, 29]))
+    canon = bool(rng.integers(0, 2))
+    gaps = [0] * (k - 1)
+    if trial == 3:  # spaced seed (no canonicalization by construction)
+        gaps[int(rng.integers(0, k - 1))] = 2
+        canon = False
+    sp_c = k + sum(gaps)
+    reads = [
+        random_dna(rng, int(rng.integers(sp_c + 1, 150)), 0.03)
+        for _ in range(48)
+    ]
+    lut = DNA4.lut
+    from bonsai_tpu.core.encoder import BatchEncoder
+    from bonsai_tpu.core.spacer import Spacer
+
+    L = max(len(r) for r in reads)
+    codes = np.full((len(reads), L), -1, dtype=np.int8)
+    lengths = np.array([len(r) for r in reads], dtype=np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = lut[np.frombuffer(r, dtype=np.uint8)]
+    enc = BatchEncoder(Spacer(k, k, gaps), canon, "lex")
+    em = enc.emissions(codes, lengths)
+    pool = np.unique(np.asarray(em.values)[np.asarray(em.mask)])
+    keys = pool[rng.random(len(pool)) < 0.5]
+    tree = TaxTree(TAXONOMY)
+    taxa = rng.choice([1, 2, 3, 11, 12, 13], size=len(keys)).astype(np.uint32)
+    db = Database(table=KmerTable(np.sort(keys), taxa), k=k, w=k, gaps=gaps)
+
+    single = Classifier(db, tree, canonicalize=canon)
+    import bonsai_tpu.io.fastx as fastx
+
+    batch = fastx.ReadBatch(
+        names=[b""] * len(lengths), seqs=[], codes=codes, lengths=lengths,
+        quals=None,
+    )
+    ref = single.classify_batch(batch, full=True)
+    dp, dbs = [(4, 2), (2, 4), (1, 8), (2, 3)][int(rng.integers(0, 4))]
+    cf = float(rng.choice([0.1, 0.5, 1.25]))
+    mesh = make_mesh({"dp": dp, "db": dbs})
+    sc = ShardedClassifier(db, tree, mesh, canonicalize=canon,
+                           route="a2a", capacity_factor=cf)
+    taxon, taxa_o, hit, n_missing, n_kmers, _ = sc.step(codes, lengths)
+    np.testing.assert_array_equal(np.asarray(taxon), ref.taxon)
+    np.testing.assert_array_equal(np.asarray(hit), ref.hit_mask)
+    np.testing.assert_array_equal(np.asarray(n_missing), ref.n_missing)
+    np.testing.assert_array_equal(np.asarray(n_kmers), ref.n_kmers)
+    np.testing.assert_array_equal(
+        np.asarray(taxa_o)[np.asarray(hit)], ref.taxa[ref.hit_mask]
+    )
