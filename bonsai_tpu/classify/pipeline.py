@@ -122,7 +122,7 @@ class Classifier:
         # than this fall back to fetching the full positional matrix
         import os as _os
 
-        self.max_runs = int(_os.environ.get("BONSAI_TPU_MAX_RUNS", 16))
+        self.max_runs = int(_os.environ.get("BONSAI_TPU_MAX_RUNS", 8))
         # after this many full-matrix fallbacks, double max_runs (one
         # recompile) so run-rich datasets stop paying the big fetch
         self._overflow_batches = 0
@@ -371,6 +371,14 @@ class Classifier:
             self._arrays[0],
             self._arrays[1],
         )
+        # start the device->host copy of the compact matrix NOW (it
+        # enqueues behind the computation): the transfer overlaps the
+        # next batch's compute instead of serializing inside the writer
+        # thread's np.asarray
+        try:
+            compact.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
         # max_runs may be bumped between dispatch and finish (adaptive
         # overflow handling under pipelining): record the dispatch-time
         # capacity with the in-flight output
@@ -516,6 +524,7 @@ class Classifier:
         With profile=True, per-stage wall times (parse / dispatch /
         materialize / format) accumulate in self.stage_seconds and print to
         stderr at the end (TIME_CODE-style observability, SURVEY §5)."""
+        import os as _os
         import queue as _queue
         import threading as _threading
         import time as _time
@@ -533,7 +542,9 @@ class Classifier:
         ))
         n_reads = 0
         t_all = t()
-        q: _queue.Queue = _queue.Queue(maxsize=2)
+        q: _queue.Queue = _queue.Queue(
+            maxsize=int(_os.environ.get("BONSAI_TPU_PIPELINE_DEPTH", 4))
+        )
         err: list = []
 
         def writer():
