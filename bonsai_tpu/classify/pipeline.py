@@ -82,6 +82,119 @@ class BatchResult:
         return self.taxa[i][self.hit_mask[i]]
 
 
+def unpack_2bit(pcodes, nmask):
+    """(B, L/16) u32 2-bit-packed codes + (B, L/32) u32 N-bitmask ->
+    (B, L) int8 codes (a few fused VPU shifts; shared by the single-chip
+    and sharded steps)."""
+    import jax.numpy as jnp
+
+    B, L16 = pcodes.shape
+    shifts = jnp.arange(16, dtype=jnp.uint32) * 2
+    c = (
+        ((pcodes[:, :, None] >> shifts) & jnp.uint32(3))
+        .astype(jnp.int8)
+        .reshape(B, L16 * 16)
+    )
+    mshift = jnp.arange(32, dtype=jnp.uint32)
+    nm = (
+        ((nmask[:, :, None] >> mshift) & jnp.uint32(1)) != 0
+    ).reshape(B, L16 * 16)
+    return jnp.where(nm, jnp.int8(-1), c)
+
+
+def build_step_outputs(taxon, taxa, hit, valid, valid1, maxr):
+    """Device-side (compact, full) output matrices from per-position
+    classify results — shared by the single-chip and sharded steps so
+    both host pipelines fetch the same byte-light layout.
+
+    taxon (R,) u32 resolved taxids; taxa (R, W) u32 hit taxids (0 where
+    no hit); hit/valid (R, W); valid1 (R,) u32 mate-1 kmer counts;
+    maxr = compact run capacity.
+
+    * full: positional [head | hit-bitmask words | taxa] (R, 4+ceil(W/32)+W)
+    * compact: device-side RLE of the hit-taxa stream (append_taxa_runs,
+      classifier.h:45-61), packed to u16 pairs when W < 2^15:
+      [taxon | miss|kmers<<16 | kmers1|n_runs<<16 | run_vals*maxr |
+      run lens 2-per-u32]."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    miss = valid & ~hit
+    R, W = taxa.shape
+    hb = (W + 31) // 32
+    if hb:
+        pad = jnp.zeros((R, hb * 32 - W), dtype=bool)
+        bits = jnp.concatenate([hit, pad], axis=1).reshape(R, hb, 32)
+        weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+        hit_words = jnp.sum(
+            bits.astype(jnp.uint32) * weights, axis=-1, dtype=jnp.uint32
+        )
+    else:
+        hit_words = jnp.zeros((R, 0), dtype=jnp.uint32)
+    head = jnp.stack(
+        [
+            taxon,
+            miss.sum(axis=-1).astype(jnp.uint32),
+            valid.sum(axis=-1).astype(jnp.uint32),
+            valid1,
+        ],
+        axis=1,
+    )
+    full = jnp.concatenate([head, hit_words, taxa], axis=1)
+
+    # RLE run boundaries via a log-depth associative last-valid scan (no
+    # gathers; a handful of VPU selects per position)
+    def last_valid(a, b):
+        av, ah = a
+        bv, bh = b
+        return jnp.where(bh, bv, av), ah | bh
+
+    lastv, lasth = lax.associative_scan(
+        (lambda a, b: last_valid(a, b)), (taxa, hit), axis=1
+    )
+    z32 = jnp.zeros((R, 1), dtype=taxa.dtype)
+    zb = jnp.zeros((R, 1), dtype=bool)
+    prev_v = jnp.concatenate([z32, lastv[:, :-1]], axis=1)
+    prev_h = jnp.concatenate([zb, lasth[:, :-1]], axis=1)
+    is_new = hit & (~prev_h | (taxa != prev_v))
+    run_id = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1
+    n_runs = (
+        jnp.sum(is_new, axis=1).astype(jnp.uint32)
+        if W
+        else jnp.zeros((R,), dtype=jnp.uint32)
+    )
+    rid = jnp.where(hit, run_id, maxr)
+    onehot = rid[:, :, None] == jnp.arange(maxr, dtype=jnp.int32)
+    run_lens = jnp.sum(onehot, axis=1, dtype=jnp.uint32)
+    run_vals = jnp.sum(
+        jnp.where(onehot & is_new[:, :, None], taxa[:, :, None], 0),
+        axis=1,
+        dtype=jnp.uint32,
+    )
+    if W < (1 << 15):
+        # u16-packed layout: every counter and run length fits 16 bits
+        # because the position count W fits 15 — 60B/read at maxr=8
+        u16 = jnp.uint32(0xFFFF)
+        h1 = (head[:, 1] & u16) | (head[:, 2] << 16)
+        h2 = (head[:, 3] & u16) | (n_runs << 16)
+        lens_even = run_lens[:, 0::2]
+        lens_odd = run_lens[:, 1::2]
+        if maxr % 2:
+            lens_odd = jnp.concatenate(
+                [lens_odd, jnp.zeros((R, 1), jnp.uint32)], axis=1
+            )
+        lens_packed = (lens_even & u16) | (lens_odd << 16)
+        compact = jnp.concatenate(
+            [head[:, :1], h1[:, None], h2[:, None], run_vals, lens_packed],
+            axis=1,
+        )
+    else:
+        compact = jnp.concatenate(
+            [head, n_runs[:, None], run_vals, run_lens], axis=1
+        )
+    return compact, full
+
+
 class Classifier:
     def __init__(
         self,
@@ -177,95 +290,11 @@ class Classifier:
                 cidx = cidx.reshape(B // 2, 2 * P)
                 oidx = oidx.reshape(B // 2, 2 * P)
                 valid1 = valid1[0::2]
-            miss = valid & ~hit
             cidx = jnp.where(hit, cidx, 0)
             taxon_c = resolve_batch(cidx, hit, tax)
             taxon = tax["tax_ids"][taxon_c].astype(jnp.uint32)
             taxa = jnp.where(hit, oidx, 0).astype(jnp.uint32)
-            R, W = taxa.shape
-            hb = (W + 31) // 32
-            if hb:
-                pad = jnp.zeros((R, hb * 32 - W), dtype=bool)
-                bits = jnp.concatenate([hit, pad], axis=1).reshape(R, hb, 32)
-                weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-                hit_words = jnp.sum(
-                    bits.astype(jnp.uint32) * weights, axis=-1, dtype=jnp.uint32
-                )
-            else:
-                hit_words = jnp.zeros((R, 0), dtype=jnp.uint32)
-            head = jnp.stack(
-                [
-                    taxon,
-                    miss.sum(axis=-1).astype(jnp.uint32),
-                    valid.sum(axis=-1).astype(jnp.uint32),
-                    valid1,
-                ],
-                axis=1,
-            )
-            full = jnp.concatenate([head, hit_words, taxa], axis=1)
-
-            # device-side RLE of the hit-taxa stream (missing positions are
-            # skipped, runs break on taxid change — append_taxa_runs,
-            # classifier.h:45-61).  "value of the previous hit position"
-            # comes from a log-depth associative last-valid scan: no
-            # gathers, a handful of VPU selects per position.
-            from jax import lax
-
-            def last_valid(a, b):
-                av, ah = a
-                bv, bh = b
-                return jnp.where(bh, bv, av), ah | bh
-
-            lastv, lasth = lax.associative_scan(
-                (lambda a, b: last_valid(a, b)), (taxa, hit), axis=1
-            )
-            R2 = hit.shape[0]
-            z32 = jnp.zeros((R2, 1), dtype=taxa.dtype)
-            zb = jnp.zeros((R2, 1), dtype=bool)
-            prev_v = jnp.concatenate([z32, lastv[:, :-1]], axis=1)
-            prev_h = jnp.concatenate([zb, lasth[:, :-1]], axis=1)
-            is_new = hit & (~prev_h | (taxa != prev_v))
-            run_id = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1
-            n_runs = (
-                jnp.sum(is_new, axis=1).astype(jnp.uint32)
-                if hit.shape[1]
-                else jnp.zeros((R2,), dtype=jnp.uint32)
-            )
-            rid = jnp.where(hit, run_id, maxr)
-            onehot = rid[:, :, None] == jnp.arange(maxr, dtype=jnp.int32)
-            run_lens = jnp.sum(onehot, axis=1, dtype=jnp.uint32)
-            run_vals = jnp.sum(
-                jnp.where(onehot & is_new[:, :, None], taxa[:, :, None], 0),
-                axis=1,
-                dtype=jnp.uint32,
-            )
-            W_ = hit.shape[1]
-            if W_ < (1 << 15):
-                # packed compact layout (all counters and run lengths are
-                # < 2^16 because the per-read position count W fits 15
-                # bits): [taxon | miss|kmers<<16 | kmers1|n_runs<<16 |
-                # run_vals*maxr | lens packed 2/u32] — 60B/read at
-                # maxr=8 vs 148B unpacked; the device->host fetch is the
-                # warm-CLI bottleneck (PERF.md host-pipeline rounds)
-                u16 = jnp.uint32(0xFFFF)
-                h1 = (head[:, 1] & u16) | (head[:, 2] << 16)
-                h2 = (head[:, 3] & u16) | (n_runs << 16)
-                lens_even = run_lens[:, 0::2]
-                lens_odd = run_lens[:, 1::2]
-                if maxr % 2:
-                    lens_odd = jnp.concatenate(
-                        [lens_odd, jnp.zeros((R2, 1), jnp.uint32)], axis=1
-                    )
-                lens_packed = (lens_even & u16) | (lens_odd << 16)
-                compact = jnp.concatenate(
-                    [head[:, :1], h1[:, None], h2[:, None], run_vals,
-                     lens_packed], axis=1,
-                )
-            else:
-                compact = jnp.concatenate(
-                    [head, n_runs[:, None], run_vals, run_lens], axis=1
-                )
-            return compact, full
+            return build_step_outputs(taxon, taxa, hit, valid, valid1, maxr)
 
         return jax.jit(step)
 
@@ -275,23 +304,11 @@ class Classifier:
         design rule: minimize host<->device transfers).  Unpacking is a
         few VPU shifts fused into the encode."""
         import jax
-        import jax.numpy as jnp
 
         body = self._step(paired)
 
         def step_packed(pcodes, nmask, lengths, slots, vals):
-            B, L16 = pcodes.shape
-            shifts = jnp.arange(16, dtype=jnp.uint32) * 2
-            c = (
-                ((pcodes[:, :, None] >> shifts) & jnp.uint32(3))
-                .astype(jnp.int8)
-                .reshape(B, L16 * 16)
-            )
-            mshift = jnp.arange(32, dtype=jnp.uint32)
-            nm = (
-                ((nmask[:, :, None] >> mshift) & jnp.uint32(1)) != 0
-            ).reshape(B, L16 * 16)
-            codes = jnp.where(nm, jnp.int8(-1), c)
+            codes = unpack_2bit(pcodes, nmask)
             return body(codes, lengths, slots, vals)
 
         return jax.jit(step_packed)

@@ -348,19 +348,22 @@ def _cmd_classify(args):
             # sharded DB directory + sharded mesh: each process loads
             # only its addressable 'db' ranks' shard files
             clf = ShardedClassifier.from_sharded_dir(
-                args.db, tree, mesh, canonicalize=not args.no_canon
+                args.db, tree, mesh, canonicalize=not args.no_canon,
+                emit_all=args.emit_all, emit_kraken=args.kraken,
+                emit_fastq=args.fastq,
             )
         else:
             clf = ShardedClassifier(db, tree, mesh,
                                     canonicalize=not args.no_canon,
-                                    route=args.route)
+                                    route=args.route,
+                                    emit_all=args.emit_all,
+                                    emit_kraken=args.kraken,
+                                    emit_fastq=args.fastq)
         out = open(args.out, "w") if args.out else sys.stdout
         try:
             clf.process_dataset(args.reads, out, mate_path=args.mate,
                                 batch_size=args.chunk_size,
-                                emit_all=args.emit_all,
-                                emit_kraken=args.kraken,
-                                emit_fastq=args.fastq)
+                                profile=args.profile)
         finally:
             if args.out:
                 out.close()

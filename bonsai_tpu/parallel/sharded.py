@@ -55,7 +55,9 @@ class ShardedClassifier:
 
     def __init__(self, db, tree, mesh, canonicalize: bool = True,
                  input_type=None, route: str = "auto",
-                 capacity_factor: Optional[float] = None):
+                 capacity_factor: Optional[float] = None,
+                 emit_all: bool = False, emit_kraken: bool = True,
+                 emit_fastq: bool = False):
         import os
 
         import jax
@@ -139,16 +141,85 @@ class ShardedClassifier:
             k: gput(np.asarray(v), repl)
             for k, v in tree.device_arrays().items()
         }
+        self._init_host(input_type, emit_all, emit_kraken, emit_fastq)
+
+    def _init_host(self, input_type, emit_all, emit_kraken, emit_fastq):
+        """Host-pipeline state shared with the single-chip Classifier
+        (its _finish_batch/_write_result/process_dataset run unchanged
+        against this object)."""
+        from ..core.alphabet import InputType, alphabet_of
+
+        self.emit_all = emit_all
+        self.emit_kraken = emit_kraken
+        self.emit_fastq = emit_fastq
+        self.lut = alphabet_of(InputType(input_type)).lut
+        self.max_runs = int(os.environ.get("BONSAI_TPU_MAX_RUNS", 8))
+        self._overflow_batches = 0
+        self._overflow_bump_after = 3
         self._fns = {}
+        self._step_cache = self._fns  # the adaptive maxr bump clears it
         self.n_classified = 0
         self.n_unclassified = 0
 
-    def _build_fn(self, paired: bool = False):
+    def _build_fn(self, paired: bool = False, compact: bool = False):
         if self.route == "a2a" and self.ndb > 1:
-            return self._build_fn_a2a(paired)
-        return self._build_fn_psum(paired)
+            return self._build_fn_a2a(paired, compact)
+        return self._build_fn_psum(paired, compact)
 
-    def _build_fn_a2a(self, paired: bool = False):
+    def _wrap_steps(self, core, compact: bool, spec0, table_specs):
+        """shard_map a route's core into either the raw 6-tuple step
+        (tests / step()) or the compact (RLE + full) step used by the
+        host CLI pipeline — the SAME byte-light output layout and 2-bit
+        packed upload as the single-chip classifier
+        (classify/pipeline.py build_step_outputs / unpack_2bit)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        from ..classify.pipeline import build_step_outputs, unpack_2bit
+
+        mesh = self.mesh
+        maxr = self.max_runs
+
+        if compact:
+            def local_step(pcodes, nmask, lengths, slots, vals):
+                codes = unpack_2bit(pcodes, nmask)
+                taxon, vo, hit, valid, valid1 = core(
+                    codes, lengths, slots, vals
+                )
+                taxa = jnp.where(hit, vo, 0).astype(jnp.uint32)
+                return build_step_outputs(
+                    taxon.astype(jnp.uint32), taxa, hit, valid,
+                    valid1.astype(jnp.uint32), maxr,
+                )
+
+            fn = jax.shard_map(
+                local_step, mesh=mesh,
+                in_specs=(spec0, spec0, spec0) + table_specs,
+                out_specs=(spec0, spec0),
+            )
+            return jax.jit(fn)
+
+        def local_step(codes, lengths, slots, vals):
+            taxon, vo, hit, valid, valid1 = core(codes, lengths, slots, vals)
+            miss = valid & ~hit
+            return (
+                taxon,
+                jnp.where(hit, vo, 0),
+                hit,
+                miss.sum(-1).astype(jnp.int32),
+                valid.sum(-1).astype(jnp.int32),
+                valid1,
+            )
+
+        fn = jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(spec0, spec0) + table_specs,
+            out_specs=(spec0,) * 6,
+        )
+        return jax.jit(fn)
+
+    def _build_fn_a2a(self, paired: bool = False, compact: bool = False):
         """all_to_all-routed probe over hash-prefix sub-tables.
 
         Reads shard over BOTH mesh axes; each device encodes its own
@@ -261,7 +332,7 @@ class ShardedClassifier:
             found = ((res >> jnp.uint64(31)) & jnp.uint64(1)) != 0
             return vc, vo, found
 
-        def local_step(codes, lengths, slots3, vals):
+        def core(codes, lengths, slots3, vals):
             slots = slots3[0]  # local view (1, nb, SLOTS) -> (nb, SLOTS)
             vals_l = vals if inline else vals[0]
             em = enc.emissions(codes, lengths)
@@ -289,32 +360,18 @@ class ShardedClassifier:
                 vc = vc.reshape(B // 2, 2 * P_)
                 vo = vo.reshape(B // 2, 2 * P_)
                 valid1 = valid1[0::2]
-            miss = valid & ~hit
             cidx = jnp.where(hit, vc, 0)
             taxon_c = resolve_batch(cidx, hit, tax)
             taxon = tax["tax_ids"][taxon_c]
-            return (
-                taxon,
-                jnp.where(hit, vo, 0),
-                hit,
-                miss.sum(-1).astype(jnp.int32),
-                valid.sum(-1).astype(jnp.int32),
-                valid1,
-            )
+            return taxon, vo, hit, valid, valid1
 
         both = ("dp", "db")
-        fn = shard_map(
-            local_step,
-            mesh=mesh,
-            in_specs=(
-                P(both), P(both), P("db"),
-                P() if inline else P("db"),
-            ),
-            out_specs=(P(both),) * 6,
+        return self._wrap_steps(
+            core, compact, spec0=P(both),
+            table_specs=(P("db"), P() if inline else P("db")),
         )
-        return jax.jit(fn)
 
-    def _build_fn_psum(self, paired: bool = False):
+    def _build_fn_psum(self, paired: bool = False, compact: bool = False):
         import jax
         import jax.numpy as jnp
         shard_map = jax.shard_map
@@ -367,7 +424,7 @@ class ShardedClassifier:
             vo = (packed >> jnp.uint64(32)).astype(jnp.uint32)
             return vc, vo, found
 
-        def local_step(codes, lengths, slots, vals):
+        def core(codes, lengths, slots, vals):
             em = enc.emissions(codes, lengths)
             kmers, valid = em.values, em.mask
             vc, vo, found = probe_local(kmers, slots, vals)
@@ -386,29 +443,15 @@ class ShardedClassifier:
                 vc = vc.reshape(B // 2, 2 * P_)
                 vo = vo.reshape(B // 2, 2 * P_)
                 valid1 = valid1[0::2]
-            miss = valid & ~hit
             cidx = jnp.where(hit, vc, 0)
             taxon_c = resolve_batch(cidx, hit, tax)
             taxon = tax["tax_ids"][taxon_c]
-            return (
-                taxon,
-                jnp.where(hit, vo, 0),
-                hit,
-                miss.sum(-1).astype(jnp.int32),
-                valid.sum(-1).astype(jnp.int32),
-                valid1,
-            )
+            return taxon, vo, hit, valid, valid1
 
-        fn = shard_map(
-            local_step,
-            mesh=mesh,
-            in_specs=(
-                P("dp"), P("dp"), P("db"),
-                P() if self._inline else P("db"),
-            ),
-            out_specs=(P("dp"),) * 6,
+        return self._wrap_steps(
+            core, compact, spec0=P("dp"),
+            table_specs=(P("db"), P() if self._inline else P("db")),
         )
-        return jax.jit(fn)
 
     def gather_rows_per_step(self, n_reads: int, read_len: int,
                              rounds: int = 1) -> int:
@@ -428,7 +471,9 @@ class ShardedClassifier:
     @classmethod
     def from_sharded_dir(cls, dirpath: str, tree, mesh,
                          canonicalize: bool = True, input_type=None,
-                         capacity_factor: Optional[float] = None):
+                         capacity_factor: Optional[float] = None,
+                         emit_all: bool = False, emit_kraken: bool = True,
+                         emit_fastq: bool = False):
         """Pod-scale constructor: each PROCESS loads only the shard files
         of its addressable 'db' ranks from a `build --shards N` directory
         (db/formats.py save_database_sharded) — DB load I/O and host RAM
@@ -457,7 +502,8 @@ class ShardedClassifier:
 
             return cls(load_database_sharded(dirpath), tree, mesh,
                        canonicalize, input_type,
-                       capacity_factor=capacity_factor)
+                       capacity_factor=capacity_factor, emit_all=emit_all,
+                       emit_kraken=emit_kraken, emit_fastq=emit_fastq)
         self = cls.__new__(cls)
         self.mesh = mesh
         self.tree = tree
@@ -546,9 +592,7 @@ class ShardedClassifier:
             else:
                 tax[kk] = jax.device_put(jnp.asarray(a), repl)
         self._tax = tax
-        self._fns = {}
-        self.n_classified = 0
-        self.n_unclassified = 0
+        self._init_host(input_type, emit_all, emit_kraken, emit_fastq)
         return self
 
     @property
@@ -632,29 +676,70 @@ class ShardedClassifier:
             n_kmers1=n_kmers1[:n].astype(np.int32),
         )
 
-    def process_dataset(self, path, out_fh, mate_path=None,
-                        batch_size: int = 4096, emit_all: bool = False,
-                        emit_kraken: bool = True, emit_fastq: bool = False):
-        """Classify a dataset over the mesh and write text output (the
-        multi-device analog of Classifier.process_dataset)."""
-        from ..classify import output as out_mod
-        from ..core.alphabet import alphabet_of
-        from ..io import fastx
+    # -- host CLI pipeline (shared with the single-chip Classifier) -------
+    def _dispatch_batch(self, batch, paired: bool = False):
+        """Async half of the shared host pipeline: pad the batch to the
+        mesh multiple, 2-bit pack, run the compact (RLE + full) sharded
+        step, and start the device->host copy — the same transfer-light
+        layout the single-chip pipeline fetches."""
+        from ..classify.pipeline import Classifier
 
-        lut = alphabet_of(self.enc.it).lut
-        is_paired = mate_path is not None
-        if is_paired and batch_size % 2:
-            batch_size += 1
-        for batch in fastx.batch_reads(
-            path, lut, batch_size=batch_size, mate_path=mate_path
-        ):
-            res = self.classify_batch(batch, is_paired)
-            out_fh.write(
-                out_mod.format_batch(
-                    res, self.sp.c, emit_all=emit_all,
-                    emit_kraken=emit_kraken, emit_fastq=emit_fastq,
-                )
-            )
+        n = len(batch.names)
+        Bp = Classifier._bucket_batch(n)
+        ranks = self.ndp * self.ndb if self.route == "a2a" else self.ndp
+        mult = ranks * 2 if paired else ranks
+        if Bp % mult:
+            Bp = ((Bp + mult - 1) // mult) * mult
+        L = batch.codes.shape[1]
+        Lp = (L + 31) & ~31
+        codes, lengths = batch.codes, batch.lengths
+        if Bp != n or Lp != L:
+            codes = np.full((Bp, Lp), -1, dtype=np.int8)
+            codes[:n, :L] = batch.codes
+            lengths = np.zeros(Bp, dtype=np.int32)
+            lengths[:n] = batch.lengths
+        pcodes, nmask = Classifier.pack_codes(codes)
+        key = ("compact", paired)
+        if key not in self._fns:
+            self._fns[key] = self._build_fn(paired, compact=True)
+        compact, full = self._fns[key](
+            self._to_global(pcodes),
+            self._to_global(nmask),
+            self._to_global(lengths),
+            self._slots,
+            self._vals,
+        )
+        try:
+            compact.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+        return compact, full, Lp, self.max_runs
+
+    def _finish_batch(self, batch, out, paired: bool = False,
+                      force_full: bool = False):
+        from ..classify.pipeline import Classifier
+
+        return Classifier._finish_batch(self, batch, out, paired, force_full)
+
+    def _write_result(self, out_fh, batch, out, is_paired):
+        from ..classify.pipeline import Classifier
+
+        return Classifier._write_result(self, out_fh, batch, out, is_paired)
+
+    def process_dataset(self, path, out_fh, mate_path=None,
+                        batch_size: int = 4096, profile: bool = False):
+        """Classify a dataset over the mesh and write text output — the
+        SAME pipelined host loop as the single-chip classifier (writer
+        thread, async fetches, compact RLE transfers), byte-identical
+        output.  Emit flags come from the constructor.  Single-controller
+        only: per-process output sharding for jax.distributed runs is out
+        of scope (results are host-gathered)."""
+        from ..classify.pipeline import Classifier
+
+        return Classifier.process_dataset(
+            self, path, out_fh, mate_path=mate_path, batch_size=batch_size,
+            profile=profile,
+        )
 
 
 def sharded_encode_contig(codes, k: int, mesh, canonical: bool = True):

@@ -215,11 +215,11 @@ def test_sharded_classify_batch_and_dataset(tmp_path, ec_db_tree=None):
 
     single = Classifier(db, tree, emit_all=True)
     mesh = default_mesh(db_shards=2)
-    sharded = ShardedClassifier(db, tree, mesh)
+    sharded = ShardedClassifier(db, tree, mesh, emit_all=True)
 
     out1, out2 = io.StringIO(), io.StringIO()
     single.process_dataset(str(fq), out1)
-    sharded.process_dataset(str(fq), out2, emit_all=True)
+    sharded.process_dataset(str(fq), out2)
     assert out1.getvalue() == out2.getvalue()
     assert sharded.n_classified == single.n_classified
 
