@@ -19,9 +19,8 @@ classifies the current one).
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import Iterator, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

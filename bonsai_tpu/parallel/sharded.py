@@ -37,7 +37,6 @@ Sharding policy (SURVEY §2.10 / §5 "Distributed communication backend"):
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Optional
 
 import numpy as np

@@ -335,3 +335,55 @@ def test_compact_output_paired(db, tree):
     assert out_mod.format_batch(res_c, K, emit_all=True) == out_mod.format_batch(
         res_f, K, emit_all=True
     )
+
+
+def test_adaptive_run_capacity_bump(tmp_path):
+    """Run-rich reads overflow the compact RLE capacity; after a few
+    full-matrix fallbacks max_runs doubles (one recompile) and output
+    stays byte-identical throughout."""
+    import io
+    import numpy as np
+    from bonsai_tpu.classify.pipeline import Classifier
+    from bonsai_tpu.db.table import KmerTable
+    from bonsai_tpu.db.formats import Database
+    from bonsai_tpu.taxonomy.tree import TaxTree
+    from bonsai_tpu.core import encode as enc_mod, bitops
+    from bonsai_tpu.core.alphabet import DNA4
+
+    rng = np.random.default_rng(11)
+    k = 15
+    bases = np.array(list(b"ACGT"), dtype=np.uint8)
+    reads = [bases[rng.integers(0, 4, 120)].tobytes() for _ in range(64)]
+    codes = np.stack(
+        [DNA4.lut[np.frombuffer(r, np.uint8)] for r in reads]
+    ).astype(np.int8)
+    km, inv = enc_mod.pack_kmers(codes, k)
+    keys = np.unique(bitops.canonical(km[~inv], k))
+    # alternate taxids along the sorted key order: consecutive read
+    # positions hit different taxa -> many runs per read (> 8 and > 16)
+    taxa = (11 + (np.arange(len(keys)) % 4)).astype(np.uint32)
+    tree = TaxTree({1: 0, 2: 1, 11: 2, 12: 2, 13: 2, 14: 2})
+    db = Database(table=KmerTable(keys, taxa), k=k, w=k, gaps=[0] * (k - 1))
+
+    fa = tmp_path / "r.fa"
+    with open(fa, "w") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f">q{i}\n{r.decode()}\n")
+
+    # reference: full positional fetch path (no RLE involved)
+    ref_clf = Classifier(db, tree, emit_all=True)
+    ref = io.StringIO()
+    for batch in __import__("bonsai_tpu").io.fastx.batch_reads(
+        str(fa), ref_clf.lut, batch_size=8
+    ):
+        res = ref_clf.classify_batch(batch, full=True)
+        from bonsai_tpu.classify import output as out_mod
+
+        ref.write(out_mod.format_batch(res, ref_clf.sp.c, emit_all=True))
+
+    clf = Classifier(db, tree, emit_all=True)
+    clf.max_runs = 4  # force overflow on every batch initially
+    out = io.StringIO()
+    clf.process_dataset(str(fa), out, batch_size=8)
+    assert out.getvalue() == ref.getvalue()
+    assert clf.max_runs > 4  # the adaptive bump fired
