@@ -54,21 +54,49 @@ def lca_device(a_idx, b_idx, tax):
     return res
 
 
-def resolve_batch(hit_idx, hit_mask, tax):
+def resolve_batch(hit_idx, hit_mask, tax, block: int = 1024):
     """hit_idx: (B, P) compact taxonomy indices of DB hits; hit_mask: (B, P).
 
-    Returns (B,) compact index of the resolved taxon (0 = unclassified)."""
+    Returns (B,) compact index of the resolved taxon (0 = unclassified).
+
+    For short reads the (B, P, P) ancestor matrix materializes whole; for
+    LONG reads (P > ``block``: multi-kb nanopore-style inputs, which the
+    reference's linear per-read loop handles at any length) the q axis is
+    scanned in blocks so memory stays O(B * block * P) while the result
+    is bit-identical."""
     tin, tout = tax["tin"], tax["tout"]
     B, P = hit_idx.shape
     n = tin.shape[0]
     BIG = jnp.int32(n + 2)
     t_in = jnp.where(hit_mask, tin[hit_idx], BIG)
     t_out = jnp.where(hit_mask, tout[hit_idx], -2)
-    # anc[b, q, p]: hit q is an ancestor-or-self of hit p
-    anc = (t_in[:, :, None] <= t_in[:, None, :]) & (
-        t_in[:, None, :] <= t_out[:, :, None]
-    )
-    score = jnp.sum(anc, axis=1).astype(jnp.int32)
+    if P <= block:
+        # anc[b, q, p]: hit q is an ancestor-or-self of hit p
+        anc = (t_in[:, :, None] <= t_in[:, None, :]) & (
+            t_in[:, None, :] <= t_out[:, :, None]
+        )
+        score = jnp.sum(anc, axis=1).astype(jnp.int32)
+    else:
+        nblk = -(-P // block)
+        Ppad = nblk * block
+        ti_q = jnp.pad(t_in, ((0, 0), (0, Ppad - P)), constant_values=BIG)
+        to_q = jnp.pad(t_out, ((0, 0), (0, Ppad - P)), constant_values=-2)
+        ti_q = ti_q.reshape(B, nblk, block)
+        to_q = to_q.reshape(B, nblk, block)
+
+        def add_block(score, qs):
+            ti_b, to_b = qs  # (B, block)
+            anc = (ti_b[:, :, None] <= t_in[:, None, :]) & (
+                t_in[:, None, :] <= to_b[:, :, None]
+            )
+            return score + jnp.sum(anc, axis=1).astype(jnp.int32), None
+
+        score0 = jnp.zeros((B, P), dtype=jnp.int32)
+        score, _ = jax.lax.scan(
+            add_block,
+            score0,
+            (jnp.moveaxis(ti_q, 1, 0), jnp.moveaxis(to_q, 1, 0)),
+        )
     score = jnp.where(hit_mask, score, -1)
     best = jnp.max(score, axis=-1)
     tied = (score == best[:, None]) & hit_mask

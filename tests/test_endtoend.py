@@ -387,3 +387,47 @@ def test_adaptive_run_capacity_bump(tmp_path):
     clf.process_dataset(str(fa), out, batch_size=8)
     assert out.getvalue() == ref.getvalue()
     assert clf.max_runs > 4  # the adaptive bump fired
+
+
+def test_long_read_classify(tmp_path):
+    """Multi-kb reads (nanopore-style): the blockwise resolve must match
+    the dense formulation and the pipeline must classify a 6 kb read
+    end-to-end (the reference's per-read loop is length-agnostic,
+    classifier.h:212)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from bonsai_tpu.classify.resolve import resolve_batch
+    from bonsai_tpu.classify.pipeline import Classifier
+    from bonsai_tpu.db.table import KmerTable
+    from bonsai_tpu.db.formats import Database
+    from bonsai_tpu.taxonomy.tree import TaxTree
+    from bonsai_tpu.core import encode as enc_mod, bitops
+    from bonsai_tpu.core.alphabet import DNA4
+
+    rng = np.random.default_rng(21)
+    tree = TaxTree({1: 0, 2: 1, 3: 1, 11: 2, 12: 2, 13: 3})
+    tax = tree.device_arrays()
+    n_tax = int(np.asarray(tax["tin"]).shape[0])
+    # blockwise == dense on random hit patterns
+    B, P = 4, 2500
+    idx = rng.integers(0, n_tax, size=(B, P)).astype(np.int32)
+    mask = rng.random((B, P)) < 0.4
+    dense = resolve_batch(jnp.asarray(idx), jnp.asarray(mask), tax,
+                          block=1 << 20)
+    blocked = resolve_batch(jnp.asarray(idx), jnp.asarray(mask), tax,
+                            block=512)
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(blocked))
+
+    # end-to-end: one 6 kb read through the full pipeline
+    k = 21
+    bases = np.array(list(b"ACGT"), dtype=np.uint8)
+    long_read = bases[rng.integers(0, 4, 6000)].tobytes()
+    codes = DNA4.lut[np.frombuffer(long_read, np.uint8)][None].astype(np.int8)
+    km, inv = enc_mod.pack_kmers(codes, k)
+    pool = np.unique(bitops.canonical(km[~inv], k))
+    keys = pool[rng.random(len(pool)) < 0.3]
+    taxa = rng.choice([2, 11, 12, 13], size=len(keys)).astype(np.uint32)
+    db = Database(table=KmerTable(keys, taxa), k=k, w=k, gaps=[0] * (k - 1))
+    clf = Classifier(db, tree)
+    taxon = clf.classify_reads([long_read])
+    assert taxon.shape == (1,) and int(taxon[0]) != 0
