@@ -107,6 +107,55 @@ def worker(pid: int, nproc: int, addr: str) -> int:
         f"single-device ({int((taxon != 0).sum())}/{len(taxon)} classified)",
         flush=True,
     )
+
+    # phase 2 — the pod DB-loading property: from a sharded on-disk DB,
+    # THIS process must read only the shard files of its addressable
+    # 'db' ranks (DB load I/O scales 1/ndb per host).  Both processes
+    # write identical sharded dirs (deterministic build) privately.
+    import tempfile
+
+    from bonsai_tpu.db import formats as fmts
+    from bonsai_tpu.db.formats import save_database_sharded
+
+    tmp = tempfile.mkdtemp()
+    save_database_sharded(db, tmp, ndb=2)
+    loaded = []
+    real_read = fmts.read_database_arrays
+
+    def counting_read(path):
+        loaded.append(os.path.basename(path))
+        return real_read(path)
+
+    # db-MAJOR mesh: each process's devices sit in one 'db' row, so a
+    # host holds (and loads) exactly its own table shards — the pod
+    # deployment layout
+    mesh2 = make_mesh({"db": 2, "dp": 2})
+    fmts.read_database_arrays = counting_read
+    try:
+        sc2 = ShardedClassifier.from_sharded_dir(tmp, tree, mesh2)
+    finally:
+        fmts.read_database_arrays = real_read
+    dev_grid = mesh2.devices
+    db_axis = mesh2.axis_names.index("db")
+    my_ranks = sorted(
+        {
+            idx[db_axis]
+            for idx in np.ndindex(dev_grid.shape)
+            if dev_grid[idx].process_index == jax.process_index()
+        }
+    )
+    want = {f"shard-{r:05d}.btpu" for r in my_ranks}
+    assert set(loaded) == want, (loaded, want)
+    out2 = sc2.step(codes, lengths)
+    taxon2 = np.asarray(
+        multihost_utils.process_allgather(out2[0], tiled=True)
+    )
+    np.testing.assert_array_equal(taxon2, ref.taxon)
+    print(
+        f"[proc {pid}] ok: lazy shard-dir load touched only local ranks "
+        f"{sorted(my_ranks)} ({sorted(loaded)}); output exact",
+        flush=True,
+    )
     return 0
 
 
