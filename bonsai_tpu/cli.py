@@ -495,14 +495,19 @@ def _cmd_prebuild(args):
 
 def _cmd_hist(args):
     """Histogram of kmers per taxid (bin/bonsai.cpp:351-374)."""
-    from collections import Counter
+    import os
 
-    from .db.formats import load_database, import_bonsai_database
+    from .db.formats import (
+        import_bonsai_database, load_database, load_database_sharded,
+    )
 
-    try:
-        db = load_database(args.db)
-    except ValueError:
-        db = import_bonsai_database(args.db)
+    if os.path.isdir(args.db):
+        db = load_database_sharded(args.db)
+    else:
+        try:
+            db = load_database(args.db)
+        except ValueError:
+            db = import_bonsai_database(args.db)
     vals, counts = np.unique(db.table.vals_sorted, return_counts=True)
     order = np.argsort(counts, kind="stable")
     out = open(args.out, "w") if args.out else sys.stdout
