@@ -304,7 +304,12 @@ def main():
                      (jc, jl, slots_d, uniq_d), 0))
 
     # correctness first: lazy-b2 must match the production step exactly
-    ref = np.asarray(v0fn(jc, jl, s0, v0))[:, :3]
+    # (v0's compact head packs counters as u16 pairs since round 3:
+    # col0 = taxon, col1 = miss | kmers<<16)
+    cm = np.asarray(v0fn(jc, jl, s0, v0))
+    ref = np.stack(
+        [cm[:, 0], cm[:, 1] & 0xFFFF, cm[:, 1] >> 16], axis=1
+    )
     for name, fn, args, _ in variants[1:]:
         got = np.asarray(fn(*args))[:, :3]
         assert np.array_equal(got, ref), f"{name} diverges from v0"
