@@ -357,20 +357,33 @@ class Classifier:
         )
         return packed, nmask
 
-    def _dispatch_batch(self, batch: fastx.ReadBatch, paired: bool = False):
-        """Async half of classify_batch: returns (compact, full, L_padded)
-        with the device arrays still in flight (materialize with
-        _finish_batch).  Used for batch pipelining in process_dataset.
+    def _batch_multiple(self, paired: bool) -> int:
+        """Row-count multiple the padded batch must satisfy (the sharded
+        classifier overrides this with its mesh rank count)."""
+        return 2 if paired else 1
+
+    def _to_device(self, x):
+        """Host batch array -> device (the sharded classifier overrides
+        this for multi-process meshes)."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(x)
+
+    def _prepare_batch(self, batch: fastx.ReadBatch, paired: bool = False):
+        """Host half of a dispatch: pad the batch to its pow2 bucket (and
+        the paired/mesh multiple), 2-bit pack, and START the host->device
+        upload.  Pure host + transfer work — safe to run in a producer
+        thread so it overlaps the previous batch's dispatch.
 
         Reads cross the host->device link 2-bit packed (16 codes + their
         32 N-mask bits per pair of u32 words) — 4.5x smaller than int8
         codes; the batch dim pads to pow2 buckets and the length dim to a
         multiple of 32 so compiled steps are reused."""
-        import jax.numpy as jnp
-
-        step = self._step(paired, packed=True)
         n = len(batch.names)
         Bp = self._bucket_batch(n)
+        mult = self._batch_multiple(paired)
+        if Bp % mult:
+            Bp = ((Bp + mult - 1) // mult) * mult
         L = batch.codes.shape[1]
         Lp = (L + 31) & ~31
         codes, lengths = batch.codes, batch.lengths
@@ -380,17 +393,23 @@ class Classifier:
             lengths = np.zeros(Bp, dtype=np.int32)
             lengths[:n] = batch.lengths
         pcodes, nmask = self.pack_codes(codes)
-        compact, full = step(
-            jnp.asarray(pcodes),
-            jnp.asarray(nmask),
-            jnp.asarray(lengths),
-            self._arrays[0],
-            self._arrays[1],
+        return (
+            self._to_device(pcodes),
+            self._to_device(nmask),
+            self._to_device(lengths),
+            Lp,
         )
-        # start the device->host copy of the compact matrix NOW (it
-        # enqueues behind the computation): the transfer overlaps the
-        # next batch's compute instead of serializing inside the writer
-        # thread's np.asarray
+
+    def _dispatch_prepared(self, prep, paired: bool = False):
+        """Device half: run the compact step on prepared inputs and start
+        the device->host copy of the compact matrix (it enqueues behind
+        the computation, so the transfer overlaps later batches' compute
+        instead of serializing inside the writer thread's np.asarray)."""
+        step = self._step(paired, packed=True)
+        pcodes, nmask, lengths, Lp = prep
+        compact, full = step(
+            pcodes, nmask, lengths, self._arrays[0], self._arrays[1]
+        )
         try:
             compact.copy_to_host_async()
         except (AttributeError, NotImplementedError):
@@ -399,6 +418,11 @@ class Classifier:
         # overflow handling under pipelining): record the dispatch-time
         # capacity with the in-flight output
         return compact, full, Lp, self.max_runs
+
+    def _dispatch_batch(self, batch: fastx.ReadBatch, paired: bool = False):
+        return self._dispatch_prepared(
+            self._prepare_batch(batch, paired), paired
+        )
 
     def _finish_batch(
         self, batch: fastx.ReadBatch, out, paired: bool = False,
@@ -529,13 +553,14 @@ class Classifier:
         """Classify a FASTA/FASTQ file (optionally paired) and write text
         output (process_dataset, classifier.h:296-337).
 
-        Pipelined: the main thread parses and dispatches batches (keeping
-        up to two in flight on the device), while a writer thread
-        materializes results and formats/writes text — so device compute,
-        the host<->device fetch, and host parse/format all overlap (the
-        reference overlaps via its kt_forpool thread pool; here JAX's
-        async dispatch + one consumer thread give the same shape).
-        Output order is preserved by the queue.
+        Three-stage pipeline: a PRODUCER thread parses, pads, 2-bit packs,
+        and uploads batches; the MAIN thread dispatches the device step
+        (keeping several batches in flight); a WRITER thread materializes
+        results and formats/writes text.  Device compute, both transfer
+        directions, and host parse/format all overlap (the reference
+        overlaps via its kt_forpool thread pool; here JAX's async dispatch
+        + two pipeline threads give the same shape).  Output order is
+        preserved by the queues.
 
         With profile=True, per-stage wall times (parse / dispatch /
         materialize / format) accumulate in self.stage_seconds and print to
@@ -558,10 +583,26 @@ class Classifier:
         ))
         n_reads = 0
         t_all = t()
-        q: _queue.Queue = _queue.Queue(
-            maxsize=int(_os.environ.get("BONSAI_TPU_PIPELINE_DEPTH", 4))
-        )
+        depth = int(_os.environ.get("BONSAI_TPU_PIPELINE_DEPTH", 4))
+        q: _queue.Queue = _queue.Queue(maxsize=depth)
+        pq: _queue.Queue = _queue.Queue(maxsize=depth)
         err: list = []
+        perr: list = []
+        stop: list = []
+
+        def producer():
+            try:
+                for batch in it:
+                    if stop:
+                        break
+                    t0 = t()
+                    prep = self._prepare_batch(batch, is_paired)
+                    stats["parse"] += t() - t0
+                    pq.put((batch, prep))
+            except BaseException as e:
+                perr.append(e)
+            finally:
+                pq.put(None)
 
         def writer():
             try:
@@ -575,27 +616,36 @@ class Classifier:
                 while q.get() is not None:  # drain so producer unblocks
                     pass
 
+        pt = _threading.Thread(target=producer, daemon=True)
         wt = _threading.Thread(target=writer, daemon=True)
+        pt.start()
         wt.start()
+        producer_done = False
         try:
             while True:
-                t0 = t()
-                batch = next(it, None)
-                stats["parse"] += t() - t0
-                if batch is None:
+                item = pq.get()
+                if item is None:
+                    producer_done = True
                     break
                 if err:
                     raise err[0]
+                batch, prep = item
                 n_reads += len(batch.names)
                 t0 = t()
-                out = self._dispatch_batch(batch, is_paired)
+                out = self._dispatch_prepared(prep, is_paired)
                 stats["dispatch"] += t() - t0
                 q.put((batch, out))
         finally:
+            stop.append(True)
+            while not producer_done:  # unblock + retire the producer
+                producer_done = pq.get() is None
+            pt.join()
             q.put(None)
             wt.join()
         if err:
             raise err[0]
+        if perr:
+            raise perr[0]
         if profile:
             total = t() - t_all
             import sys as _sys

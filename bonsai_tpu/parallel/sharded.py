@@ -676,43 +676,50 @@ class ShardedClassifier:
         )
 
     # -- host CLI pipeline (shared with the single-chip Classifier) -------
-    def _dispatch_batch(self, batch, paired: bool = False):
-        """Async half of the shared host pipeline: pad the batch to the
-        mesh multiple, 2-bit pack, run the compact (RLE + full) sharded
-        step, and start the device->host copy — the same transfer-light
-        layout the single-chip pipeline fetches."""
+    def _batch_multiple(self, paired: bool) -> int:
+        ranks = self.ndp * self.ndb if self.route == "a2a" else self.ndp
+        return ranks * 2 if paired else ranks
+
+    def _bucket_batch(self, n: int) -> int:
         from ..classify.pipeline import Classifier
 
-        n = len(batch.names)
-        Bp = Classifier._bucket_batch(n)
-        ranks = self.ndp * self.ndb if self.route == "a2a" else self.ndp
-        mult = ranks * 2 if paired else ranks
-        if Bp % mult:
-            Bp = ((Bp + mult - 1) // mult) * mult
-        L = batch.codes.shape[1]
-        Lp = (L + 31) & ~31
-        codes, lengths = batch.codes, batch.lengths
-        if Bp != n or Lp != L:
-            codes = np.full((Bp, Lp), -1, dtype=np.int8)
-            codes[:n, :L] = batch.codes
-            lengths = np.zeros(Bp, dtype=np.int32)
-            lengths[:n] = batch.lengths
-        pcodes, nmask = Classifier.pack_codes(codes)
+        return Classifier._bucket_batch(n)
+
+    @staticmethod
+    def pack_codes(codes):
+        from ..classify.pipeline import Classifier
+
+        return Classifier.pack_codes(codes)
+
+    def _to_device(self, x):
+        return self._to_global(x)
+
+    def _prepare_batch(self, batch, paired: bool = False):
+        from ..classify.pipeline import Classifier
+
+        return Classifier._prepare_batch(self, batch, paired)
+
+    def _dispatch_prepared(self, prep, paired: bool = False):
+        """Device half of the shared host pipeline: run the compact
+        (RLE + full) sharded step and start the device->host copy — the
+        same transfer-light layout the single-chip pipeline fetches."""
         key = ("compact", paired)
         if key not in self._fns:
             self._fns[key] = self._build_fn(paired, compact=True)
+        pcodes, nmask, lengths, Lp = prep
         compact, full = self._fns[key](
-            self._to_global(pcodes),
-            self._to_global(nmask),
-            self._to_global(lengths),
-            self._slots,
-            self._vals,
+            pcodes, nmask, lengths, self._slots, self._vals
         )
         try:
             compact.copy_to_host_async()
         except (AttributeError, NotImplementedError):
             pass
         return compact, full, Lp, self.max_runs
+
+    def _dispatch_batch(self, batch, paired: bool = False):
+        return self._dispatch_prepared(
+            self._prepare_batch(batch, paired), paired
+        )
 
     def _finish_batch(self, batch, out, paired: bool = False,
                       force_full: bool = False):
