@@ -431,3 +431,42 @@ def test_long_read_classify(tmp_path):
     clf = Classifier(db, tree)
     taxon = clf.classify_reads([long_read])
     assert taxon.shape == (1,) and int(taxon[0]) != 0
+
+
+def test_pipeline_error_propagation(tmp_path):
+    """Exceptions in the writer thread must surface in the caller and the
+    producer/writer threads must shut down cleanly (no deadlock)."""
+    import numpy as np
+    from bonsai_tpu.classify.pipeline import Classifier
+    from bonsai_tpu.db.table import KmerTable
+    from bonsai_tpu.db.formats import Database
+    from bonsai_tpu.taxonomy.tree import TaxTree
+
+    rng = np.random.default_rng(3)
+    keys = np.unique(rng.integers(0, 1 << 30, 500, dtype=np.uint64))
+    db = Database(
+        table=KmerTable(keys, np.full(len(keys), 2, np.uint32)),
+        k=15, w=15, gaps=[0] * 14,
+    )
+    clf = Classifier(db, TaxTree({1: 0, 2: 1}))
+    fa = tmp_path / "r.fa"
+    bases = np.array(list(b"ACGT"), dtype=np.uint8)
+    with open(fa, "w") as fh:
+        for i in range(300):
+            fh.write(f">q{i}\n{bases[rng.integers(0,4,60)].tobytes().decode()}\n")
+
+    class Boom(Exception):
+        pass
+
+    class FailingSink:
+        def write(self, _):
+            raise Boom("sink failed")
+
+    import pytest
+    import threading
+
+    before = threading.active_count()
+    with pytest.raises(Boom):
+        clf.process_dataset(str(fa), FailingSink(), batch_size=64)
+    # pipeline threads retired (no leak / deadlock)
+    assert threading.active_count() <= before
