@@ -470,6 +470,11 @@ class Classifier:
                 self._overflow_batches >= self._overflow_bump_after
                 and self.max_runs < 64
             ):
+                # runs in the WRITER thread while the main thread may be
+                # dispatching: the race is benign — every in-flight output
+                # carries its own dispatch-time maxr, so a dispatch that
+                # grabs the pre-bump step only delays the capacity change
+                # by a batch (GIL-atomic dict/int operations throughout)
                 self.max_runs = self.max_runs * 2
                 self._step_cache.clear()
                 self._overflow_batches = 0
