@@ -134,7 +134,7 @@ def device_step_throughput(clf, batch, steps):
     codes, lengths = make_reads(batch)
     jc = jnp.asarray(codes)
     jl = jnp.asarray(lengths)
-    step = clf._step()
+    step, _maxr = clf._step()
     slots, vals, _ = clf._arrays
 
     @jax.jit

@@ -81,10 +81,16 @@ class BatchResult:
         return self.taxa[i][self.hit_mask[i]]
 
 
-def unpack_2bit(pcodes, nmask):
-    """(B, L/16) u32 2-bit-packed codes + (B, L/32) u32 N-bitmask ->
+def unpack_2bit(pcodes, nmask=None):
+    """(B, L/16) u32 2-bit-packed codes [+ (B, L/32) u32 N-bitmask] ->
     (B, L) int8 codes (a few fused VPU shifts; shared by the single-chip
-    and sharded steps)."""
+    and sharded steps).
+
+    nmask=None is the no-N fast path: when the host sees no ambiguous
+    base inside any read of the batch it skips the bitmask upload
+    entirely (a third of the host->device bytes); positions past each
+    read's length decode as code 0, which the position-validity mask
+    already excludes for the unwindowed classify discipline."""
     import jax.numpy as jnp
 
     B, L16 = pcodes.shape
@@ -94,6 +100,8 @@ def unpack_2bit(pcodes, nmask):
         .astype(jnp.int8)
         .reshape(B, L16 * 16)
     )
+    if nmask is None:
+        return c
     mshift = jnp.arange(32, dtype=jnp.uint32)
     nm = (
         ((nmask[:, :, None] >> mshift) & jnp.uint32(1)) != 0
@@ -101,7 +109,8 @@ def unpack_2bit(pcodes, nmask):
     return jnp.where(nm, jnp.int8(-1), c)
 
 
-def build_step_outputs(taxon, taxa, hit, valid, valid1, maxr):
+def build_step_outputs(taxon, taxa, hit, valid, valid1, maxr,
+                       dict16: bool = False):
     """Device-side (compact, full) output matrices from per-position
     classify results — shared by the single-chip and sharded steps so
     both host pipelines fetch the same byte-light layout.
@@ -110,11 +119,26 @@ def build_step_outputs(taxon, taxa, hit, valid, valid1, maxr):
     no hit); hit/valid (R, W); valid1 (R,) u32 mate-1 kmer counts;
     maxr = compact run capacity.
 
+    dict16=True means ``taxa`` holds 16-bit DICTIONARY INDICES into the
+    host-replicated unique-taxid table instead of 32-bit taxids (the
+    probe's value index is a free by-product, db/table.py
+    probe_slots_device want_idx); the host maps indices back after the
+    fetch.  Run indices then pack two-per-u32 and run lengths four-per-u32
+    when W <= 255, cutting the dominant device->host transfer from
+    60 B/read to 36 B/read at maxr=8 (the reference's output needs only
+    the run stream, classifier.h:112-129).
+
     * full: positional [head | hit-bitmask words | taxa] (R, 4+ceil(W/32)+W)
+      (dictionary indices in the taxa block when dict16)
     * compact: device-side RLE of the hit-taxa stream (append_taxa_runs,
-      classifier.h:45-61), packed to u16 pairs when W < 2^15:
-      [taxon | miss|kmers<<16 | kmers1|n_runs<<16 | run_vals*maxr |
-      run lens 2-per-u32]."""
+      classifier.h:45-61); layouts by (dict16, W):
+        dict16, W<=255 : [taxon | miss|kmers<<16 | kmers1|n_runs<<16 |
+                          run idx 2/u32 | run lens 4/u32]
+        dict16, W<2^15 : same but run lens 2/u32
+        plain,  W<2^15 : [taxon | miss|kmers<<16 | kmers1|n_runs<<16 |
+                          run_vals*maxr | run lens 2/u32]
+        else           : [taxon | miss | kmers | kmers1 | n_runs |
+                          run_vals*maxr | run_lens*maxr]."""
     import jax.numpy as jnp
     from jax import lax
 
@@ -170,21 +194,40 @@ def build_step_outputs(taxon, taxa, hit, valid, valid1, maxr):
         axis=1,
         dtype=jnp.uint32,
     )
+    def pack2(a):
+        ev, od = a[:, 0::2], a[:, 1::2]
+        if a.shape[1] % 2:
+            od = jnp.concatenate([od, jnp.zeros((R, 1), jnp.uint32)], axis=1)
+        return (ev & jnp.uint32(0xFFFF)) | (od << 16)
+
     if W < (1 << 15):
         # u16-packed layout: every counter and run length fits 16 bits
-        # because the position count W fits 15 — 60B/read at maxr=8
+        # because the position count W fits 15
         u16 = jnp.uint32(0xFFFF)
         h1 = (head[:, 1] & u16) | (head[:, 2] << 16)
         h2 = (head[:, 3] & u16) | (n_runs << 16)
-        lens_even = run_lens[:, 0::2]
-        lens_odd = run_lens[:, 1::2]
-        if maxr % 2:
-            lens_odd = jnp.concatenate(
-                [lens_odd, jnp.zeros((R, 1), jnp.uint32)], axis=1
-            )
-        lens_packed = (lens_even & u16) | (lens_odd << 16)
+        if dict16:
+            # run values are dictionary indices < 2^16: two per word; run
+            # lengths <= W: four per word when W fits a byte
+            vals_packed = pack2(run_vals)
+            if W <= 255:
+                pad4 = (-maxr) % 4
+                rl4 = run_lens
+                if pad4:
+                    rl4 = jnp.concatenate(
+                        [rl4, jnp.zeros((R, pad4), jnp.uint32)], axis=1
+                    )
+                rl4 = rl4.reshape(R, -1, 4)
+                sh8 = jnp.arange(4, dtype=jnp.uint32) * 8
+                lens_packed = jnp.sum(rl4 << sh8, axis=-1, dtype=jnp.uint32)
+            else:
+                lens_packed = pack2(run_lens)
+        else:
+            vals_packed = run_vals
+            lens_packed = pack2(run_lens)
         compact = jnp.concatenate(
-            [head[:, :1], h1[:, None], h2[:, None], run_vals, lens_packed],
+            [head[:, :1], h1[:, None], h2[:, None], vals_packed,
+             lens_packed],
             axis=1,
         )
     else:
@@ -227,7 +270,21 @@ class Classifier:
         packed = (
             table.vals_sorted.astype(np.uint64) << np.uint64(32)
         ) | compact_vals.astype(np.uint32).astype(np.uint64)
-        self._arrays = table.device_arrays(packed)
+        slots_np, vals_np, inline = table.arrays_np(packed)
+        self._arrays = (jnp.asarray(slots_np), jnp.asarray(vals_np), inline)
+        # dictionary mode: with an inline (unique-values) table of <= 2^16
+        # entries, the probe's value INDEX replaces the 32-bit taxid in the
+        # compact fetch; the host maps indices back through this table.
+        # orig taxid <-> packed value is 1:1 (compact idx is a function of
+        # the taxid), so the index stream RLE-compresses identically.
+        self._uniq_host = None
+        if inline and vals_np.size <= 0xFFFF:
+            self._uniq_host = (
+                np.asarray(vals_np) >> np.uint64(32)
+            ).astype(np.uint32)
+        # a read can hit at most this many distinct taxonomy nodes — the
+        # static bound the long-read dedup resolve relies on
+        self._n_distinct = int(np.unique(compact_vals).size)
         self._tax = tree.device_arrays()
         self._step_cache = {}
         # compact-output run capacity: reads with more distinct hit runs
@@ -241,7 +298,7 @@ class Classifier:
         self._overflow_bump_after = 3
 
     # -- jitted device step ----------------------------------------------
-    def _make_step(self, paired: bool = False):
+    def _make_step(self, paired: bool = False, maxr: Optional[int] = None):
         """Two outputs per batch, both device-resident until fetched:
 
         * compact (R, 5 + 2*MAXR) uint32 — taxon | n_missing | n_kmers |
@@ -268,16 +325,24 @@ class Classifier:
         tax = self._tax
 
         inline = self._arrays[2]
-        maxr = self.max_runs
+        maxr = self.max_runs if maxr is None else maxr
+        dict16 = self._uniq_host is not None
+        ndist = self._n_distinct
 
         def step(codes, lengths, slots, vals):
             em = enc.emissions(codes, lengths)
             kmers, valid = em.values, em.mask
-            packed, found = table.probe_device(
-                kmers, arrays=(slots, vals, inline)
-            )
+            if dict16:
+                packed, found, sel = table.probe_device(
+                    kmers, arrays=(slots, vals, inline), want_idx=True
+                )
+                oidx = sel  # dictionary index, host maps back to taxid
+            else:
+                packed, found = table.probe_device(
+                    kmers, arrays=(slots, vals, inline)
+                )
+                oidx = (packed >> jnp.uint64(32)).astype(jnp.uint32)
             cidx = (packed & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
-            oidx = (packed >> jnp.uint64(32)).astype(jnp.uint32)
             hit = valid & found
             valid1 = valid.sum(axis=-1).astype(jnp.uint32)
             if paired:
@@ -290,36 +355,54 @@ class Classifier:
                 oidx = oidx.reshape(B // 2, 2 * P)
                 valid1 = valid1[0::2]
             cidx = jnp.where(hit, cidx, 0)
-            taxon_c = resolve_batch(cidx, hit, tax)
+            taxon_c = resolve_batch(cidx, hit, tax, n_distinct=ndist)
             taxon = tax["tax_ids"][taxon_c].astype(jnp.uint32)
             taxa = jnp.where(hit, oidx, 0).astype(jnp.uint32)
-            return build_step_outputs(taxon, taxa, hit, valid, valid1, maxr)
+            return build_step_outputs(
+                taxon, taxa, hit, valid, valid1, maxr, dict16=dict16
+            )
 
         return jax.jit(step)
 
-    def _make_step_packed(self, paired: bool = False):
+    def _make_step_packed(self, paired: bool = False,
+                          maxr: Optional[int] = None, with_n: bool = True):
         """Same step, but reads arrive as 2-bit-packed u32 words plus an
         N-bitmask — 4.5x fewer bytes over the host->device link (the
         design rule: minimize host<->device transfers).  Unpacking is a
-        few VPU shifts fused into the encode."""
+        few VPU shifts fused into the encode.  with_n=False compiles the
+        no-N variant that takes no bitmask at all (see unpack_2bit)."""
         import jax
 
-        body = self._step(paired)
+        body = self._make_step(paired, maxr)
 
-        def step_packed(pcodes, nmask, lengths, slots, vals):
-            codes = unpack_2bit(pcodes, nmask)
-            return body(codes, lengths, slots, vals)
+        if with_n:
+            def step_packed(pcodes, nmask, lengths, slots, vals):
+                codes = unpack_2bit(pcodes, nmask)
+                return body(codes, lengths, slots, vals)
+        else:
+            def step_packed(pcodes, lengths, slots, vals):
+                codes = unpack_2bit(pcodes)
+                return body(codes, lengths, slots, vals)
 
         return jax.jit(step_packed)
 
-    def _step(self, paired: bool = False, packed: bool = False):
-        key = ("fn", paired, packed)
-        if key not in self._step_cache:
-            self._step_cache[key] = (
-                self._make_step_packed(paired) if packed
-                else self._make_step(paired)
+    def _step(self, paired: bool = False, packed: bool = False,
+              with_n: bool = True):
+        """(compiled_fn, maxr) — the run capacity is cached WITH the
+        function so the adaptive max_runs bump (writer thread) can never
+        mismatch a compiled step against a different parse width: callers
+        take both from one atomic tuple."""
+        key = ("fn", paired, packed, with_n)
+        maxr = self.max_runs
+        ent = self._step_cache.get(key)
+        if ent is None or ent[1] != maxr:
+            fn = (
+                self._make_step_packed(paired, maxr, with_n) if packed
+                else self._make_step(paired, maxr)
             )
-        return self._step_cache[key]
+            ent = (fn, maxr)
+            self._step_cache[key] = ent
+        return ent
 
     # -- per-batch --------------------------------------------------------
     @staticmethod
@@ -343,14 +426,17 @@ class Classifier:
         )
 
     @staticmethod
-    def pack_codes(codes: np.ndarray):
+    def pack_codes(codes: np.ndarray, with_nmask: bool = True):
         """(B, L) int8 codes (L % 32 == 0) -> (packed (B, L/16) u32 of
-        2-bit codes, nmask (B, L/32) u32 ambiguity bits)."""
+        2-bit codes, nmask (B, L/32) u32 ambiguity bits — or None when
+        with_nmask=False, the no-N upload fast path)."""
         B, L = codes.shape
         v = np.where(codes < 0, 0, codes).astype(np.uint32).reshape(B, L // 16, 16)
         packed = np.bitwise_or.reduce(
             v << (np.arange(16, dtype=np.uint32) * 2), axis=-1
         )
+        if not with_nmask:
+            return packed, None
         nb = (codes < 0).astype(np.uint32).reshape(B, L // 32, 32)
         nmask = np.bitwise_or.reduce(
             nb << np.arange(32, dtype=np.uint32), axis=-1
@@ -392,10 +478,15 @@ class Classifier:
             codes[:n, :L] = batch.codes
             lengths = np.zeros(Bp, dtype=np.int32)
             lengths[:n] = batch.lengths
-        pcodes, nmask = self.pack_codes(codes)
+        # -1 codes are either in-read Ns or tail padding; padding totals
+        # Bp*Lp - sum(lengths), so any excess negative count means a real
+        # ambiguous base and the batch needs the N-bitmask upload
+        n_neg = int((codes < 0).sum())
+        has_n = n_neg > Bp * Lp - int(lengths.sum())
+        pcodes, nmask = self.pack_codes(codes, with_nmask=has_n)
         return (
             self._to_device(pcodes),
-            self._to_device(nmask),
+            self._to_device(nmask) if has_n else None,
             self._to_device(lengths),
             Lp,
         )
@@ -405,19 +496,24 @@ class Classifier:
         the device->host copy of the compact matrix (it enqueues behind
         the computation, so the transfer overlaps later batches' compute
         instead of serializing inside the writer thread's np.asarray)."""
-        step = self._step(paired, packed=True)
         pcodes, nmask, lengths, Lp = prep
-        compact, full = step(
-            pcodes, nmask, lengths, self._arrays[0], self._arrays[1]
-        )
+        step, maxr = self._step(paired, packed=True, with_n=nmask is not None)
+        if nmask is None:
+            compact, full = step(
+                pcodes, lengths, self._arrays[0], self._arrays[1]
+            )
+        else:
+            compact, full = step(
+                pcodes, nmask, lengths, self._arrays[0], self._arrays[1]
+            )
         try:
             compact.copy_to_host_async()
         except (AttributeError, NotImplementedError):
             pass
         # max_runs may be bumped between dispatch and finish (adaptive
-        # overflow handling under pipelining): record the dispatch-time
-        # capacity with the in-flight output
-        return compact, full, Lp, self.max_runs
+        # overflow handling under pipelining): the in-flight output carries
+        # the SAME maxr the compiled step was built with (atomic tuple)
+        return compact, full, Lp, maxr
 
     def _dispatch_batch(self, batch: fastx.ReadBatch, paired: bool = False):
         return self._dispatch_prepared(
@@ -438,19 +534,41 @@ class Classifier:
         cm = np.asarray(compact_dev)[:R]
         P_pad = max(Lp - self.sp.c + 1, 0)
         W_pad = 2 * P_pad if paired else P_pad
+        uniq = getattr(self, "_uniq_host", None)
+        dict16 = uniq is not None
+
+        def unpack2(words, count):
+            out = np.empty((cm.shape[0], 2 * words.shape[1]), np.uint32)
+            out[:, 0::2] = words & 0xFFFF
+            out[:, 1::2] = words >> 16
+            return out[:, :count]
+
         if W_pad < (1 << 15):
-            # packed layout (see _make_step): u16 counters + paired lens
+            # packed layout (see build_step_outputs): u16 counters
             taxon = cm[:, 0]
             n_missing = (cm[:, 1] & 0xFFFF).astype(np.int32)
             n_kmers = (cm[:, 1] >> 16).astype(np.int32)
             n_kmers1 = (cm[:, 2] & 0xFFFF).astype(np.int32)
             n_runs = cm[:, 2] >> 16
-            rv = cm[:, 3 : 3 + maxr]
-            lp = cm[:, 3 + maxr : 3 + maxr + (maxr + 1) // 2]
-            rl = np.empty((cm.shape[0], 2 * ((maxr + 1) // 2)), np.uint32)
-            rl[:, 0::2] = lp & 0xFFFF
-            rl[:, 1::2] = lp >> 16
-            rl = rl[:, :maxr]
+            if dict16:
+                nv = (maxr + 1) // 2
+                rv = unpack2(cm[:, 3 : 3 + nv], maxr)
+                if W_pad <= 255:
+                    nl = (maxr + 3) // 4
+                    lw = cm[:, 3 + nv : 3 + nv + nl]
+                    rl = np.empty((cm.shape[0], 4 * nl), np.uint32)
+                    for j in range(4):
+                        rl[:, j::4] = (lw >> (8 * j)) & 0xFF
+                    rl = rl[:, :maxr]
+                else:
+                    rl = unpack2(
+                        cm[:, 3 + nv : 3 + nv + (maxr + 1) // 2], maxr
+                    )
+            else:
+                rv = cm[:, 3 : 3 + maxr]
+                rl = unpack2(
+                    cm[:, 3 + maxr : 3 + maxr + (maxr + 1) // 2], maxr
+                )
         else:
             taxon = cm[:, 0]
             n_missing = cm[:, 1].astype(np.int32)
@@ -459,6 +577,10 @@ class Classifier:
             n_runs = cm[:, 4]
             rv = cm[:, 5 : 5 + maxr]
             rl = cm[:, 5 + maxr : 5 + 2 * maxr]
+        if dict16:
+            # run values are dictionary indices: map back to taxids (unused
+            # slots past n_runs decode to uniq[0]; never read)
+            rv = uniq[np.minimum(rv, np.uint32(uniq.size - 1))]
         taxa = hit = run_vals = run_lens = None
         overflowed = bool(n_runs.size and int(n_runs.max()) > maxr)
         if overflowed and not force_full:
@@ -471,12 +593,11 @@ class Classifier:
                 and self.max_runs < 64
             ):
                 # runs in the WRITER thread while the main thread may be
-                # dispatching: the race is benign — every in-flight output
-                # carries its own dispatch-time maxr, so a dispatch that
-                # grabs the pre-bump step only delays the capacity change
-                # by a batch (GIL-atomic dict/int operations throughout)
+                # dispatching: safe — _step caches (fn, maxr) tuples, so a
+                # dispatch either sees the old pair or rebuilds with the
+                # new capacity; every in-flight output carries the maxr of
+                # the step that produced it
                 self.max_runs = self.max_runs * 2
-                self._step_cache.clear()
                 self._overflow_batches = 0
         if force_full or overflowed:
             # rare: some read has > maxr runs; fetch the positional matrix
@@ -510,6 +631,11 @@ class Classifier:
                 else:
                     taxa = taxa[:, :Wt]
                     hit = hit[:, :Wt]
+            if dict16:
+                # full-matrix taxa are dictionary indices too
+                taxa = np.where(
+                    hit, uniq[np.minimum(taxa, np.uint32(uniq.size - 1))], 0
+                ).astype(np.uint32)
         else:
             run_vals = rv
             run_lens = rl

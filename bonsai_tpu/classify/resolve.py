@@ -54,20 +54,39 @@ def lca_device(a_idx, b_idx, tax):
     return res
 
 
-def resolve_batch(hit_idx, hit_mask, tax, block: int = 1024):
+def resolve_batch(hit_idx, hit_mask, tax, block: int = 1024,
+                  n_distinct: int | None = None):
     """hit_idx: (B, P) compact taxonomy indices of DB hits; hit_mask: (B, P).
 
     Returns (B,) compact index of the resolved taxon (0 = unclassified).
 
-    For short reads the (B, P, P) ancestor matrix materializes whole; for
-    LONG reads (P > ``block``: multi-kb nanopore-style inputs, which the
-    reference's linear per-read loop handles at any length) the q axis is
-    scanned in blocks so memory stays O(B * block * P) while the result
-    is bit-identical."""
+    For short reads the (B, P, P) ancestor matrix materializes whole.
+
+    For LONG reads (multi-kb nanopore-style inputs, which the reference's
+    linear per-read loop handles at any length) the dense matrix is
+    asymptotically wrong — the reference resolves over DISTINCT taxa
+    (util.h:831-869), of which a read can hit at most D = ``n_distinct``
+    (the DB's distinct-value count, known statically by every caller).
+    When P is large and D ≪ P, each row is sorted and deduplicated to D
+    slots with multiplicity counts, and the ancestor matrix runs at
+    (B, D, D) with count weights — bit-identical scores, O(P log P + D²)
+    per read instead of O(P²).
+
+    Without ``n_distinct`` (or when D is not small), P > ``block`` falls
+    back to scanning the q axis in blocks: memory O(B * block * P), work
+    still O(P²)."""
     tin, tout = tax["tin"], tax["tout"]
     B, P = hit_idx.shape
     n = tin.shape[0]
     BIG = jnp.int32(n + 2)
+    if (
+        n_distinct is not None
+        and P > 256
+        and min(n_distinct, P) <= P // 2
+    ):
+        return _resolve_dedup(
+            hit_idx, hit_mask, tax, min(int(n_distinct), P)
+        )
     t_in = jnp.where(hit_mask, tin[hit_idx], BIG)
     t_out = jnp.where(hit_mask, tout[hit_idx], -2)
     if P <= block:
@@ -106,6 +125,62 @@ def resolve_batch(hit_idx, hit_mask, tax, block: int = 1024):
     i_max = jnp.argmax(tin_masked_max, axis=-1)
     a = jnp.take_along_axis(hit_idx, i_min[:, None], axis=-1)[:, 0]
     b = jnp.take_along_axis(hit_idx, i_max[:, None], axis=-1)[:, 0]
+    taxon = lca_device(a, b, tax)
+    any_hit = jnp.any(hit_mask, axis=-1)
+    return jnp.where(any_hit, taxon, 0)
+
+
+def _resolve_dedup(hit_idx, hit_mask, tax, D: int):
+    """Distinct-taxa resolve: per-row sort + dedup to D slots with counts,
+    then the (B, D, D) count-weighted ancestor matrix.  Scores per distinct
+    taxon equal the dense per-position sums exactly; the tied SET and its
+    tin extrema are the same, so the LCA tie-break is bit-identical."""
+    tin, tout = tax["tin"], tax["tout"]
+    B, P = hit_idx.shape
+    n = tin.shape[0]
+    BIG = jnp.int32(n + 2)
+    SENT = jnp.int32(n + 1)  # sorts after every real compact index
+    sv = jnp.sort(
+        jnp.where(hit_mask, hit_idx.astype(jnp.int32), SENT), axis=1
+    )
+    first = jnp.concatenate(
+        [jnp.ones((B, 1), bool), sv[:, 1:] != sv[:, :-1]], axis=1
+    ) & (sv != SENT)
+    rank = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1
+    rows = jnp.arange(B)[:, None]
+    # distinct values: scatter each run's first element to its rank slot
+    # (unique targets); counts: scatter-add every valid element
+    tgt_first = jnp.where(first, rank, D)
+    dvals = (
+        jnp.zeros((B, D + 1), jnp.int32)
+        .at[rows, tgt_first]
+        .set(sv, mode="drop")[:, :D]
+    )
+    tgt = jnp.where(sv != SENT, rank, D)
+    counts = (
+        jnp.zeros((B, D + 1), jnp.int32)
+        .at[rows, tgt]
+        .add(1, mode="drop")[:, :D]
+    )
+    dmask = counts > 0
+    t_in = jnp.where(dmask, tin[dvals], BIG)
+    t_out = jnp.where(dmask, tout[dvals], -2)
+    # anc[b, q, p]: distinct q is an ancestor-or-self of distinct p
+    anc = (t_in[:, :, None] <= t_in[:, None, :]) & (
+        t_in[:, None, :] <= t_out[:, :, None]
+    )
+    score = jnp.sum(
+        anc * counts[:, :, None], axis=1, dtype=jnp.int32
+    )
+    score = jnp.where(dmask, score, -1)
+    best = jnp.max(score, axis=-1)
+    tied = (score == best[:, None]) & dmask
+    tin_masked_min = jnp.where(tied, t_in, BIG)
+    tin_masked_max = jnp.where(tied, t_in, -1)
+    i_min = jnp.argmin(tin_masked_min, axis=-1)
+    i_max = jnp.argmax(tin_masked_max, axis=-1)
+    a = jnp.take_along_axis(dvals, i_min[:, None], axis=-1)[:, 0]
+    b = jnp.take_along_axis(dvals, i_max[:, None], axis=-1)[:, 0]
     taxon = lca_device(a, b, tax)
     any_hit = jnp.any(hit_mask, axis=-1)
     return jnp.where(any_hit, taxon, 0)

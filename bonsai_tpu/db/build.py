@@ -543,13 +543,27 @@ def lca_map(
 
     workers = min(4, max(len(pending), 1), os.cpu_count() or 1)
     with cf.ThreadPoolExecutor(workers) as pool:
-        futs = [
-            pool.submit(genome_kmer_set, p, sp, canonicalize, scheme,
-                        input_type, use_device=use_device, block=block)
-            for p in pending
-        ]
-        for p, f in zip(pending, futs):
+        # bounded in-flight window: fold-in consumes serially in submission
+        # order, so submitting everything up front would accumulate
+        # completed kmer sets ahead of the fold (peak host RAM O(corpus));
+        # keep at most ~2*workers genomes extracted-but-unfolded instead
+        from collections import deque
+
+        def submit(p):
+            return pool.submit(genome_kmer_set, p, sp, canonicalize, scheme,
+                               input_type, use_device=use_device, block=block)
+
+        window = 2 * workers
+        queue = deque(
+            (p, submit(p)) for p in pending[:window]
+        )
+        nxt = window
+        while queue:
+            p, f = queue.popleft()
             builder.add_genome(p, taxid_for_path(p, name_map), f.result())
+            if nxt < len(pending):
+                queue.append((pending[nxt], submit(pending[nxt])))
+                nxt += 1
     if checkpoint_path is not None:
         builder.save_checkpoint()
     return builder.finish()

@@ -59,6 +59,25 @@ class Database:
 
 # -- native format ------------------------------------------------------------
 
+def _write_native(path: str, header: dict, keys: np.ndarray,
+                  vals: np.ndarray, compress: Optional[str] = None):
+    """Arrays-level BTPU1 writer (shared by save_database and the sharded
+    saver, which must not pay a cuckoo placement per shard just to
+    serialize flat arrays)."""
+    hb = json.dumps(header).encode()
+    if compress is None and path.endswith(".gz"):
+        compress = "gz"
+    opener = gzip.open if compress == "gz" else open
+    with opener(path, "wb") as fh:
+        fh.write(MAGIC)
+        fh.write(struct.pack("<I", len(hb)))
+        fh.write(hb)
+        fh.write(np.asarray(keys).astype("<u8").tobytes())
+        fh.write(
+            np.asarray(vals).astype(vals.dtype.newbyteorder("<")).tobytes()
+        )
+
+
 def save_database(db: Database, path: str, compress: Optional[str] = None):
     header = dict(
         k=db.k,
@@ -70,16 +89,8 @@ def save_database(db: Database, path: str, compress: Optional[str] = None):
         val_dtype=str(db.table.vals_sorted.dtype),
         meta=db.meta,
     )
-    hb = json.dumps(header).encode()
-    if compress is None and path.endswith(".gz"):
-        compress = "gz"
-    opener = gzip.open if compress == "gz" else open
-    with opener(path, "wb") as fh:
-        fh.write(MAGIC)
-        fh.write(struct.pack("<I", len(hb)))
-        fh.write(hb)
-        fh.write(db.table.keys_sorted.astype("<u8").tobytes())
-        fh.write(db.table.vals_sorted.astype(db.table.vals_sorted.dtype.newbyteorder("<")).tobytes())
+    _write_native(path, header, db.table.keys_sorted, db.table.vals_sorted,
+                  compress)
 
 
 def read_database_arrays(path: str):
@@ -131,37 +142,50 @@ def save_database_sharded(db: Database, dirpath: str, ndb: int,
     The partition is the HASH-PREFIX ownership used by the all_to_all
     routed probe (db/table.py shard_owner), so a pod host serving 'db'
     rank s loads exactly shard-s.btpu and nothing else — DB load I/O
-    scales with 1/ndb per host."""
+    scales with 1/ndb per host.
+
+    The manifest records the AGREED common bucket count ``nb``: the saver
+    actually builds every shard's cuckoo placement (HashShardedTable) and
+    negotiates growth here, once, so per-process lazy loading
+    (ShardedClassifier.from_sharded_dir) can never hit a shard that needs
+    a bucket count the other processes don't know about.  It also records
+    the DB's distinct values (``uniq_vals.npy``) so per-process loaders
+    can share one global value dictionary without seeing foreign shards."""
     import os
 
-    from .table import shard_owner
+    from .table import HashShardedTable
 
     os.makedirs(dirpath, exist_ok=True)
     keys, vals = db.table.keys_sorted, db.table.vals_sorted
-    owner = shard_owner(keys, ndb)
+    ht = HashShardedTable(db.table, ndb)
     ext = ".btpu.gz" if compress == "gz" else ".btpu"
     shard_files = []
     shard_n = []
     for s in range(ndb):
-        m = owner == s
-        sub = Database(
-            table=KmerTable(keys[m], vals[m]), k=db.k, w=db.w,
-            gaps=db.gaps, canonicalize=db.canonicalize, scheme=db.scheme,
-            meta=db.meta,
+        p = ht.parts[s]
+        header = dict(
+            k=db.k, w=db.w, gaps=list(db.gaps),
+            canonicalize=bool(db.canonicalize), scheme=db.scheme,
+            n=int(p.size), val_dtype=str(vals.dtype), meta=db.meta,
         )
         fn = f"shard-{s:05d}{ext}"
-        save_database(sub, os.path.join(dirpath, fn), compress)
+        _write_native(os.path.join(dirpath, fn), header, keys[p], vals[p],
+                      compress)
         shard_files.append(fn)
-        shard_n.append(int(m.sum()))
+        shard_n.append(int(p.size))
+    uniq = np.unique(vals.astype(np.uint64))
+    np.save(os.path.join(dirpath, "uniq_vals.npy"), uniq)
     manifest = dict(
         format="bonsai-tpu-sharded-v1",
         ndb=ndb,
         n=int(db.table.n),
+        nb=int(ht.nb),  # agreed per-shard bucket count (no growth on load)
         shard_n=shard_n,
         k=db.k, w=db.w, gaps=list(db.gaps),
         canonicalize=bool(db.canonicalize), scheme=db.scheme,
         partition="splitmix64-prefix",  # shard_owner(key, ndb)
         shards=shard_files,
+        uniq_vals="uniq_vals.npy",
         meta=db.meta,
     )
     with open(os.path.join(dirpath, "manifest.json"), "w") as fh:

@@ -318,12 +318,13 @@ class KmerTable:
             val = val.astype(self.vals_sorted.dtype)
         return val, found
 
-    def probe_device(self, queries, arrays=None) -> Tuple:
+    def probe_device(self, queries, arrays=None,
+                     want_idx: bool = False) -> Tuple:
         """queries: (...,) uint64 jnp array -> (vals u64, found).  Two 32B
         row gathers + one small value gather."""
         slots, vals, inline = arrays or self.device_arrays()
         return probe_slots_device(
-            queries, slots, vals, inline, self.lgnb, self.vbits
+            queries, slots, vals, inline, self.lgnb, self.vbits, want_idx
         )
 
     # -- dict-style host access (tests / small tools) ---------------------
@@ -338,12 +339,18 @@ class KmerTable:
 
 
 def probe_slots_device(queries, slots, vals, inline: bool, lgnb: int,
-                       vbits: int):
+                       vbits: int, want_idx: bool = False):
     """Probe a quotient-cuckoo slot array on device: (..., ) u64 queries
     -> (packed vals u64, found bool).  Two 32B row gathers + one small
     value gather.  Standalone so hash-sharded sub-tables (which share one
     geometry but live inside shard_map) probe with the exact same math as
-    KmerTable.probe_device."""
+    KmerTable.probe_device.
+
+    want_idx=True additionally returns ``sel`` — in inline mode the index
+    into the unique-values table (the dictionary index the byte-light
+    compact fetch ships instead of 32-bit taxids), already computed as a
+    probe by-product; in flat mode the matched slot position (not a
+    dictionary)."""
     import jax.numpy as jnp
 
     h = hashes.splitmix64(queries)
@@ -369,6 +376,8 @@ def probe_slots_device(queries, slots, vals, inline: bool, lgnb: int,
     flat_vals = vals.reshape(-1)
     val = flat_vals[sel.astype(jnp.int32)]
     val = jnp.where(found, val, 0)
+    if want_idx:
+        return val, found, jnp.where(found, sel, 0)
     return val, found
 
 

@@ -136,6 +136,16 @@ class ShardedClassifier:
             # with their slots
             self._vals = gput(vals, repl if inline else shard_db)
             self._rows_per_shard = rows // self.ndb
+        # dictionary mode (see classify/pipeline.py): inline value tables
+        # of <= 2^16 entries let the compact fetch ship 16-bit value
+        # indices instead of 32-bit taxids; the index is global across
+        # shards because all shards encode against ONE unique-values array
+        self._uniq_host = None
+        if inline and np.asarray(vals).size <= 0xFFFF:
+            self._uniq_host = (
+                np.asarray(vals) >> np.uint64(32)
+            ).astype(np.uint32)
+        self._n_distinct = int(np.unique(compact_vals).size)
         self._tax = {
             k: gput(np.asarray(v), repl)
             for k, v in tree.device_arrays().items()
@@ -156,16 +166,20 @@ class ShardedClassifier:
         self._overflow_batches = 0
         self._overflow_bump_after = 3
         self._fns = {}
-        self._step_cache = self._fns  # the adaptive maxr bump clears it
+        # Classifier._finish_batch's adaptive bump only touches max_runs;
+        # _dispatch_prepared revalidates its cached (fn, maxr) against it.
+        self._step_cache = self._fns
         self.n_classified = 0
         self.n_unclassified = 0
 
-    def _build_fn(self, paired: bool = False, compact: bool = False):
+    def _build_fn(self, paired: bool = False, compact: bool = False,
+                  maxr: Optional[int] = None, with_n: bool = True):
         if self.route == "a2a" and self.ndb > 1:
-            return self._build_fn_a2a(paired, compact)
-        return self._build_fn_psum(paired, compact)
+            return self._build_fn_a2a(paired, compact, maxr, with_n)
+        return self._build_fn_psum(paired, compact, maxr, with_n)
 
-    def _wrap_steps(self, core, compact: bool, spec0, table_specs):
+    def _wrap_steps(self, core, compact: bool, spec0, table_specs,
+                    maxr: Optional[int] = None, with_n: bool = True):
         """shard_map a route's core into either the raw 6-tuple step
         (tests / step()) or the compact (RLE + full) step used by the
         host CLI pipeline — the SAME byte-light output layout and 2-bit
@@ -178,23 +192,36 @@ class ShardedClassifier:
         from ..classify.pipeline import build_step_outputs, unpack_2bit
 
         mesh = self.mesh
-        maxr = self.max_runs
+        maxr = self.max_runs if maxr is None else maxr
+        dict16 = compact and self._uniq_host is not None
 
         if compact:
-            def local_step(pcodes, nmask, lengths, slots, vals):
-                codes = unpack_2bit(pcodes, nmask)
+            def finish_local(codes, lengths, slots, vals):
                 taxon, vo, hit, valid, valid1 = core(
                     codes, lengths, slots, vals
                 )
                 taxa = jnp.where(hit, vo, 0).astype(jnp.uint32)
                 return build_step_outputs(
                     taxon.astype(jnp.uint32), taxa, hit, valid,
-                    valid1.astype(jnp.uint32), maxr,
+                    valid1.astype(jnp.uint32), maxr, dict16=dict16,
                 )
 
+            if with_n:
+                def local_step(pcodes, nmask, lengths, slots, vals):
+                    return finish_local(
+                        unpack_2bit(pcodes, nmask), lengths, slots, vals
+                    )
+
+                in_specs = (spec0, spec0, spec0) + table_specs
+            else:
+                def local_step(pcodes, lengths, slots, vals):
+                    return finish_local(
+                        unpack_2bit(pcodes), lengths, slots, vals
+                    )
+
+                in_specs = (spec0, spec0) + table_specs
             fn = jax.shard_map(
-                local_step, mesh=mesh,
-                in_specs=(spec0, spec0, spec0) + table_specs,
+                local_step, mesh=mesh, in_specs=in_specs,
                 out_specs=(spec0, spec0),
             )
             return jax.jit(fn)
@@ -218,7 +245,8 @@ class ShardedClassifier:
         )
         return jax.jit(fn)
 
-    def _build_fn_a2a(self, paired: bool = False, compact: bool = False):
+    def _build_fn_a2a(self, paired: bool = False, compact: bool = False,
+                      maxr: Optional[int] = None, with_n: bool = True):
         """all_to_all-routed probe over hash-prefix sub-tables.
 
         Reads shard over BOTH mesh axes; each device encodes its own
@@ -242,6 +270,10 @@ class ShardedClassifier:
         inline = self._inline
         tax = self._tax
         cf = self.capacity_factor
+        # compact steps ship the probe's global value index in the
+        # response word instead of the 32-bit taxid (dictionary mode)
+        dict16 = compact and self._uniq_host is not None
+        ndist = self._n_distinct
 
         U32 = jnp.uint64(0xFFFFFFFF)
         LOW31 = jnp.uint64(0x7FFFFFFF)
@@ -295,15 +327,27 @@ class ShardedClassifier:
                     .set(slot, mode="drop")
                 )
                 recv = jax.lax.all_to_all(send, "db", 0, 0, tiled=True)
-                val, fnd = probe_slots_device(
-                    recv, slots, vals, inline, lgnb, vbits
-                )
-                # response word: orig taxid | found | compact idx
-                resp = (
-                    (val & ~U32)
-                    | (fnd.astype(jnp.uint64) << jnp.uint64(31))
-                    | (val & LOW31)
-                )
+                if dict16:
+                    val, fnd, sel = probe_slots_device(
+                        recv, slots, vals, inline, lgnb, vbits,
+                        want_idx=True,
+                    )
+                    # response word: value index | found | compact idx
+                    resp = (
+                        (sel.astype(jnp.uint64) << jnp.uint64(32))
+                        | (fnd.astype(jnp.uint64) << jnp.uint64(31))
+                        | (val & LOW31)
+                    )
+                else:
+                    val, fnd = probe_slots_device(
+                        recv, slots, vals, inline, lgnb, vbits
+                    )
+                    # response word: orig taxid | found | compact idx
+                    resp = (
+                        (val & ~U32)
+                        | (fnd.astype(jnp.uint64) << jnp.uint64(31))
+                        | (val & LOW31)
+                    )
                 back = jax.lax.all_to_all(resp, "db", 0, 0, tiled=True)
                 back1 = jnp.concatenate([back, jnp.zeros((1,), jnp.uint64)])
                 got = back1[slotq]
@@ -360,17 +404,19 @@ class ShardedClassifier:
                 vo = vo.reshape(B // 2, 2 * P_)
                 valid1 = valid1[0::2]
             cidx = jnp.where(hit, vc, 0)
-            taxon_c = resolve_batch(cidx, hit, tax)
+            taxon_c = resolve_batch(cidx, hit, tax, n_distinct=ndist)
             taxon = tax["tax_ids"][taxon_c]
             return taxon, vo, hit, valid, valid1
 
         both = ("dp", "db")
         return self._wrap_steps(
             core, compact, spec0=P(both),
-            table_specs=(P("db"), P() if inline else P("db")),
+            table_specs=(P("db"), P() if inline else P("db")), maxr=maxr,
+            with_n=with_n,
         )
 
-    def _build_fn_psum(self, paired: bool = False, compact: bool = False):
+    def _build_fn_psum(self, paired: bool = False, compact: bool = False,
+                       maxr: Optional[int] = None, with_n: bool = True):
         import jax
         import jax.numpy as jnp
         shard_map = jax.shard_map
@@ -390,6 +436,8 @@ class ShardedClassifier:
         tax = self._tax
         split = type(table)._split
         expected = table._expected
+        dict16 = compact and self._uniq_host is not None
+        ndist = self._n_distinct
 
         def probe_local(kmers, slots, vals):
             """Probe the local bucket range; misses for foreign buckets."""
@@ -420,7 +468,12 @@ class ShardedClassifier:
             packed = vals.reshape(-1)[sel.astype(jnp.int32)]
             packed = jnp.where(found, packed, 0)
             vc = (packed & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
-            vo = (packed >> jnp.uint64(32)).astype(jnp.uint32)
+            if dict16:
+                # sel indexes the ONE replicated unique-values table (and
+                # is 0 for misses by construction of the where-sums above)
+                vo = jnp.where(found, sel, 0)
+            else:
+                vo = (packed >> jnp.uint64(32)).astype(jnp.uint32)
             return vc, vo, found
 
         def core(codes, lengths, slots, vals):
@@ -443,13 +496,14 @@ class ShardedClassifier:
                 vo = vo.reshape(B // 2, 2 * P_)
                 valid1 = valid1[0::2]
             cidx = jnp.where(hit, vc, 0)
-            taxon_c = resolve_batch(cidx, hit, tax)
+            taxon_c = resolve_batch(cidx, hit, tax, n_distinct=ndist)
             taxon = tax["tax_ids"][taxon_c]
             return taxon, vo, hit, valid, valid1
 
         return self._wrap_steps(
             core, compact, spec0=P("dp"),
             table_specs=(P("db"), P() if self._inline else P("db")),
+            maxr=maxr, with_n=with_n,
         )
 
     def gather_rows_per_step(self, n_reads: int, read_len: int,
@@ -525,10 +579,40 @@ class ShardedClassifier:
         self.sp = Spacer(k, k, gaps)
         self.enc = BatchEncoder(self.sp, canonicalize, "lex", input_type)
 
+        # routed responses pack (found:1 | compact:31) in the low word —
+        # same width limit the in-memory constructor asserts
+        if len(tree.device_arrays()["tin"]) >= (1 << 31):
+            raise ValueError(
+                "taxonomy too large for the 31-bit compact index in the "
+                "a2a response word"
+            )
         # geometry must agree across processes without seeing foreign
-        # shards: derive the common bucket count from the manifest counts
-        nmax = max(max(mf["shard_n"]), 1)
-        nb = max(_next_pow2(int(np.ceil(nmax / (SLOTS * MAX_LOAD)))), 4)
+        # shards: the saver negotiated (and recorded) the common bucket
+        # count; older manifests fall back to deriving it from the counts
+        if "nb" in mf:
+            nb = int(mf["nb"])
+        else:
+            nmax = max(max(mf["shard_n"]), 1)
+            nb = max(_next_pow2(int(np.ceil(nmax / (SLOTS * MAX_LOAD)))), 4)
+        lgnb = int(np.log2(nb))
+        vbits = max(lgnb - 2, 0)
+        # the saver records the DB's global distinct values, so independent
+        # per-process loaders CAN agree on one shared unique-values table:
+        # inline (replicated-dictionary) layout whenever it fits vbits
+        uniq_packed = None
+        u32v = None
+        uf = mf.get("uniq_vals")
+        if uf and os.path.exists(os.path.join(dirpath, uf)):
+            uv = np.load(os.path.join(dirpath, uf))
+            if uv.size and int(uv.max()) <= 0xFFFFFFFF and uv.size <= (
+                1 << vbits
+            ):
+                u32v = uv.astype(np.uint32)
+                uniq_packed = (
+                    u32v.astype(np.uint64) << np.uint64(32)
+                ) | tree.compact(u32v, missing_ok=True).astype(
+                    np.uint32
+                ).astype(np.uint64)
         cache = {}
 
         def shard_arrays(s: int):
@@ -549,13 +633,20 @@ class ShardedClassifier:
                 ) | tree.compact(vals, missing_ok=True).astype(
                     np.uint32
                 ).astype(np.uint64)
-                # per-process loading cannot agree on a global unique-
-                # values table: use the flat slot-indexed value array
-                slots, flat, inline = tbl._encode_slots(
-                    packed, allow_inline=False
-                )
-                assert not inline
-                cache[s] = (slots, flat)
+                if uniq_packed is not None:
+                    slots, _, inline = tbl._encode_slots(
+                        packed, uniq=uniq_packed
+                    )
+                    assert inline
+                    cache[s] = (slots, None)
+                else:
+                    # no recorded dictionary (old layout): flat
+                    # slot-indexed value array
+                    slots, flat, inline = tbl._encode_slots(
+                        packed, allow_inline=False
+                    )
+                    assert not inline
+                    cache[s] = (slots, flat)
             return cache[s]
 
         shard_db = NamedSharding(mesh, P("db"))
@@ -564,9 +655,15 @@ class ShardedClassifier:
         self._slots = jax.make_array_from_callback(
             shape, shard_db, lambda idx: shard_arrays(idx[0].start)[0][None]
         )
-        self._vals = jax.make_array_from_callback(
-            shape, shard_db, lambda idx: shard_arrays(idx[0].start)[1][None]
-        )
+        if uniq_packed is not None:
+            self._vals = jax.make_array_from_callback(
+                uniq_packed.shape, repl, lambda idx: uniq_packed[idx]
+            )
+        else:
+            self._vals = jax.make_array_from_callback(
+                shape, shard_db,
+                lambda idx: shard_arrays(idx[0].start)[1][None],
+            )
         cache.clear()
 
         class _Geom:
@@ -574,9 +671,21 @@ class ShardedClassifier:
 
         self._htab = _Geom()
         self._htab.nb = nb
-        self._htab.lgnb = int(np.log2(nb))
-        self._htab.vbits = max(self._htab.lgnb - 2, 0)
-        self._inline = False
+        self._htab.lgnb = lgnb
+        self._htab.vbits = vbits
+        self._inline = uniq_packed is not None
+        self._uniq_host = (
+            u32v if u32v is not None and u32v.size <= 0xFFFF else None
+        )
+        self._n_distinct = (
+            int(
+                np.unique(
+                    tree.compact(u32v, missing_ok=True)
+                ).size
+            )
+            if u32v is not None
+            else None
+        )
         multiproc = any(
             d.process_index != jax.process_index()
             for d in mesh.devices.flat
@@ -686,10 +795,10 @@ class ShardedClassifier:
         return Classifier._bucket_batch(n)
 
     @staticmethod
-    def pack_codes(codes):
+    def pack_codes(codes, with_nmask: bool = True):
         from ..classify.pipeline import Classifier
 
-        return Classifier.pack_codes(codes)
+        return Classifier.pack_codes(codes, with_nmask)
 
     def _to_device(self, x):
         return self._to_global(x)
@@ -703,18 +812,30 @@ class ShardedClassifier:
         """Device half of the shared host pipeline: run the compact
         (RLE + full) sharded step and start the device->host copy — the
         same transfer-light layout the single-chip pipeline fetches."""
-        key = ("compact", paired)
-        if key not in self._fns:
-            self._fns[key] = self._build_fn(paired, compact=True)
         pcodes, nmask, lengths, Lp = prep
-        compact, full = self._fns[key](
-            pcodes, nmask, lengths, self._slots, self._vals
-        )
+        with_n = nmask is not None
+        key = ("compact", paired, with_n)
+        maxr = self.max_runs
+        ent = self._fns.get(key)
+        if ent is None or ent[1] != maxr:
+            ent = (
+                self._build_fn(paired, compact=True, maxr=maxr,
+                               with_n=with_n),
+                maxr,
+            )
+            self._fns[key] = ent
+        fn, maxr = ent
+        if with_n:
+            compact, full = fn(
+                pcodes, nmask, lengths, self._slots, self._vals
+            )
+        else:
+            compact, full = fn(pcodes, lengths, self._slots, self._vals)
         try:
             compact.copy_to_host_async()
         except (AttributeError, NotImplementedError):
             pass
-        return compact, full, Lp, self.max_runs
+        return compact, full, Lp, maxr
 
     def _dispatch_batch(self, batch, paired: bool = False):
         return self._dispatch_prepared(

@@ -46,3 +46,12 @@ def random_dna(rng, n, n_prob=0.0) -> bytes:
     probs[4] = n_prob
     idx = rng.choice(5, size=n, p=probs)
     return bases[idx].tobytes()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running scale/golden-replay tests; deselect with "
+        "`-m 'not slow'` for the fast loop (the full tier runs in the "
+        "verify drive)",
+    )

@@ -69,6 +69,7 @@ def test_checkpoint_resume(small_tree, tmp_path):
     assert set(np.unique(t3.vals_sorted)) <= {1, 2, 11, 12, 13}
 
 
+@pytest.mark.slow
 def test_lca_map_checkpoint_path(small_tree, tmp_path):
     genomes = [
         os.path.join(DATA, "ec", f)

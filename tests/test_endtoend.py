@@ -195,6 +195,7 @@ def test_classify_detail_and_output(db, tree):
             assert total == len(details[i][0])
 
 
+@pytest.mark.slow
 def test_native_format_roundtrip(db, tmp_path):
     p = str(tmp_path / "db.btpu")
     save_database(db, p)
@@ -252,6 +253,7 @@ def test_bonsai_khash_probe_semantics(tmp_path):
         assert kh_get(key) is None
 
 
+@pytest.mark.slow
 def test_phase1_taxdepth_and_minimized(tree, name_map, tmp_path):
     sp = Spacer(K, K)
     p1 = taxdepth_map(GENOMES, tree, name_map, sp)
@@ -473,3 +475,79 @@ def test_pipeline_error_propagation(tmp_path):
     sink = io.StringIO()
     clf.process_dataset(str(fa), sink, batch_size=64)
     assert sink.getvalue().count("\n") == 0 or sink.getvalue()
+
+
+def test_dict16_dictionary_fetch_active(db, tree):
+    """The ec classify DB has a handful of distinct LCA taxids, so the
+    default pipeline must run in dictionary mode (16-bit value indices on
+    the wire); the compact/full parity tests above then cover the dict16
+    decode byte-for-byte."""
+    clf = Classifier(db, tree)
+    uniq = clf._uniq_host
+    assert uniq is not None
+    np.testing.assert_array_equal(
+        uniq, np.unique(db.table.vals_sorted).astype(np.uint32)
+    )
+    # dictionary indices round-trip through the step outputs
+    rng = np.random.default_rng(23)
+    reads = simulate_reads(rng, 32)
+    batch = _make_batch(reads, clf)
+    res = clf.classify_batch(batch)
+    if res.compact:
+        assert set(np.unique(res.run_vals)).issubset(set(uniq.tolist()))
+
+
+def test_no_n_upload_variant_parity(db, tree):
+    """Batches without in-read Ns skip the N-bitmask upload (a third of
+    the host->device bytes); output must match the full fetch and the
+    masked variant bit-for-bit."""
+    rng = np.random.default_rng(29)
+    clean = simulate_reads(rng, 24, n_prob=0.0)
+    noisy = simulate_reads(rng, 24, n_prob=0.05)
+    clf = Classifier(db, tree)
+    b_clean = _make_batch(clean, clf)
+    b_noisy = _make_batch(noisy, clf)
+    assert clf._prepare_batch(b_clean)[1] is None  # no-N fast path taken
+    assert clf._prepare_batch(b_noisy)[1] is not None
+    for b in (b_clean, b_noisy):
+        rc = clf.classify_batch(b)
+        rf = clf.classify_batch(b, full=True)
+        np.testing.assert_array_equal(rc.taxon, rf.taxon)
+        np.testing.assert_array_equal(rc.n_missing, rf.n_missing)
+        np.testing.assert_array_equal(rc.n_kmers, rf.n_kmers)
+        assert out_mod.format_batch(rc, K, emit_all=True) == \
+            out_mod.format_batch(rf, K, emit_all=True)
+
+
+def test_resolve_dedup_matches_dense():
+    """Long-read resolve: the distinct-taxa dedup path (sort + counts +
+    (B, D, D) weighted ancestor matrix) must equal the dense/blockwise
+    per-position formulation bit-for-bit, including ties and all-miss
+    rows (resolve over distinct taxa mirrors util.h:831-869)."""
+    import jax.numpy as jnp
+
+    from bonsai_tpu.classify.resolve import resolve_batch
+
+    tx = {1: 0}
+    for i in range(2, 12):
+        tx[i] = 1
+    for i in range(12, 32):
+        tx[i] = 2 + (i % 10)
+    t = TaxTree(tx)
+    tax = t.device_arrays()
+    n = len(np.asarray(tax["tin"]))
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        B = int(rng.integers(1, 6))
+        P = int(rng.integers(257, 2500))
+        dmax = int(rng.integers(2, n))
+        v = rng.integers(1, dmax + 1, size=(B, P)).astype(np.int32)
+        m = rng.random((B, P)) < rng.random()
+        v = np.where(m, v, 0)
+        dense = np.asarray(
+            resolve_batch(jnp.asarray(v), jnp.asarray(m), tax)
+        )
+        dedup = np.asarray(
+            resolve_batch(jnp.asarray(v), jnp.asarray(m), tax, n_distinct=n)
+        )
+        np.testing.assert_array_equal(dense, dedup)

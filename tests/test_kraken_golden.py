@@ -64,6 +64,7 @@ def ec_db():
 
 
 @pytest.mark.parametrize("which", ["HiSeq", "MiSeq", "ec_k12"])
+@pytest.mark.slow
 def test_accuracy_set_byte_identical(ec_db, which, tmp_path):
     import io
 

@@ -356,3 +356,41 @@ def test_a2a_fuzz_vs_single(trial):
     np.testing.assert_array_equal(
         np.asarray(taxa_o)[np.asarray(hit)], ref.taxa[ref.hit_mask]
     )
+
+
+def test_from_sharded_dir_dictionary_layout(setup, tmp_path):
+    """The sharded-dir saver records the agreed bucket count (nb) and the
+    DB's global distinct values; the lazy per-rank loader restores the
+    inline (replicated unique-values) layout and the 16-bit dictionary
+    compact fetch, byte-identical to the single-chip pipeline."""
+    import io
+    import json
+    import os
+
+    from bonsai_tpu.classify import output as out_mod
+    from bonsai_tpu.db.formats import save_database_sharded
+    import bonsai_tpu.io.fastx as fastx
+
+    db, tree, codes, lengths = setup
+    d = str(tmp_path / "shd")
+    save_database_sharded(db, d, ndb=4)
+    mf = json.load(open(os.path.join(d, "manifest.json")))
+    assert "nb" in mf and mf["nb"] >= 4
+    assert os.path.exists(os.path.join(d, mf["uniq_vals"]))
+    mesh = make_mesh({"dp": 2, "db": 4})
+    sc = ShardedClassifier.from_sharded_dir(d, tree, mesh)
+    assert sc._inline and sc._uniq_host is not None
+    sc.max_runs = 256  # random-taxa DB => run-rich reads; keep compact live
+    batch = fastx.ReadBatch(
+        names=[f"r{i}".encode() for i in range(len(lengths))],
+        seqs=[b""] * len(lengths), codes=codes, lengths=lengths, quals=None,
+    )
+    single = Classifier(db, tree)
+    single.max_runs = 256
+    assert single._uniq_host is not None  # dict16 on the single chip too
+    ref = single.classify_batch(batch, full=True)
+    res = sc._finish_batch(batch, sc._dispatch_batch(batch))
+    assert res.compact  # the dict16 RLE fetch, not the full fallback
+    assert out_mod.format_batch(res, K, emit_all=True) == out_mod.format_batch(
+        ref, K, emit_all=True
+    )

@@ -288,7 +288,7 @@ def main():
     uniq_d = jnp.asarray(uniq_np)
 
     # v0 baseline: the production step (compact output head col 0)
-    step0 = clf._step()
+    step0 = clf._step()[0]
     s0, v0, _ = clf._arrays
 
     def v0fn(c, l, a, b):

@@ -74,7 +74,7 @@ def main():
 
     @jax.jit
     def full(jc, jl, slots, vals, salt=0):
-        return clf._step()(salt_codes(jc, salt), jl, slots, vals)
+        return clf._step()[0](salt_codes(jc, salt), jl, slots, vals)
 
     parts = {
         "encode": ("encode only", enc_only),
