@@ -218,9 +218,166 @@ def cli_hiseq_throughput(db, tree, passes):
     return rps, agreement
 
 
+def agreement_vs_golden(text: str, golden: str):
+    """% of per-read taxids in Kraken text matching a committed
+    name->taxid golden (None when the golden is absent)."""
+    import gzip
+
+    gold = os.path.join(REPO, "tests", "data", "golden", golden)
+    if not os.path.exists(gold):
+        return None
+    with gzip.open(gold, "rt") as fh:
+        want = dict(
+            (l.split("\t")[0], int(l.split("\t")[1])) for l in fh if l.strip()
+        )
+    n = agree = 0
+    for line in text.splitlines():
+        f = line.split("\t")
+        if len(f) >= 3:
+            n += 1
+            agree += int(want.get(f[1]) == int(f[2]))
+    return 100.0 * agree / max(n, 1)
+
+
+def miseq_agreement(db, tree):
+    """One CLI pass over the MiSeq accuracy set -> taxid agreement %
+    (BASELINE robustness: the 100% claim should not rest on HiSeq
+    alone)."""
+    import io
+
+    from bonsai_tpu.classify.pipeline import Classifier
+
+    reads = os.path.join(
+        REPO, "tests", "data", "kraken_benchmarks", "MiSeq_accuracy.fa"
+    )
+    clf = Classifier(db, tree, emit_all=True)
+    out = io.StringIO()
+    clf.process_dataset(reads, out, batch_size=8192)
+    return agreement_vs_golden(out.getvalue(), "MiSeq_taxids.tsv.gz")
+
+
+def paired_golden_identical():
+    """End-to-end PAIRED classify against the committed oracle golden
+    (classify_pe.tsv.gz): build the small lex_k25 DB from the golden
+    genomes, classify mate1/mate2 through the real CLI, and report the %
+    of byte-identical lines (100.0 = reference parity)."""
+    import gzip
+    import tempfile
+
+    from bonsai_tpu.cli import main as cli_main
+
+    gold = os.path.join(REPO, "tests", "data", "golden")
+    if not os.path.exists(os.path.join(gold, "classify_pe.tsv.gz")):
+        return None
+    nodes = os.path.join(gold, "nodes.dmp")
+    nameid = os.path.join(gold, "nameidmap.txt")
+    genomes = [
+        os.path.join(gold, g)
+        for g in ("g_phix.fa", "g_phixmut.fa", "g_rand.fa")
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        dbp = os.path.join(td, "lex25.btpu")
+        rc = cli_main(
+            ["build", dbp, *genomes, "-k", "25", "-T", nodes, "-M", nameid]
+        )
+        if rc != 0:
+            return 0.0
+        out = os.path.join(td, "pe.tsv")
+        rc = cli_main(
+            ["classify", dbp, nodes, os.path.join(gold, "mate1.fa"),
+             os.path.join(gold, "mate2.fa"), "-a", "-o", out]
+        )
+        if rc != 0:
+            return 0.0
+        with gzip.open(os.path.join(gold, "classify_pe.tsv.gz"), "rb") as fh:
+            want = fh.read().splitlines()
+        with open(out, "rb") as fh:
+            got = fh.read().splitlines()
+    same = sum(a == b for a, b in zip(want, got))
+    n = max(len(want), len(got), 1)
+    return 100.0 * same / n
+
+
+def sustained_stream(db, tree, passes: int):
+    """ONE long CLI stream (passes x 10k HiSeq reads; 100 passes = 1M
+    reads): steady-state reads/s plus the process peak-RSS high-water
+    mark, evidence that writer backpressure and queue memory stay
+    bounded over dataset-scale streams (the reference chunks 1M reads,
+    bin/bonsai.cpp:108)."""
+    import io
+    import resource
+    import tempfile
+
+    from bonsai_tpu.classify.pipeline import Classifier
+
+    reads = os.path.join(
+        REPO, "tests", "data", "kraken_benchmarks", "HiSeq_accuracy.fa"
+    )
+    batch = int(os.environ.get("BENCH_CLI_BATCH", 8192))
+    clf = Classifier(db, tree)
+    sink = io.StringIO()
+    clf.process_dataset(reads, sink, batch_size=batch)  # compile
+    n_per_pass = sink.getvalue().count("\n")
+    with open(reads, "rb") as fh:
+        blob = fh.read()
+    with tempfile.NamedTemporaryFile(suffix=".fa", delete=False) as tmp:
+        for _ in range(passes):
+            tmp.write(blob)
+        big = tmp.name
+
+    class _Devnull(io.TextIOBase):
+        def __init__(self):
+            self.n = 0
+
+        def write(self, s):
+            self.n += len(s)
+            return len(s)
+
+    try:
+        sink = _Devnull()
+        t0 = time.time()
+        clf.process_dataset(big, sink, batch_size=batch)
+        dt = time.time() - t0
+    finally:
+        os.unlink(big)
+    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    return n_per_pass * passes / dt, rss_mb
+
+
+def device_build_throughput():
+    """--device-build on the real chip: distinct kmers / wall for the ec
+    corpus, second run (first pays one compile per merge shape) — the
+    accelerator-side counterpart of db_build_kmers_per_s
+    (feature_min.h:93-171)."""
+    from bonsai_tpu.core.spacer import Spacer
+    from bonsai_tpu.db.build_device import device_lca_map
+    from bonsai_tpu.io import fastx
+    from bonsai_tpu.taxonomy.ncbi import accession_from_header
+    from bonsai_tpu.taxonomy.tree import TaxTree
+
+    tree = TaxTree({1: 0, 2: 1, 11: 2, 12: 2, 13: 2, 14: 2, 15: 2})
+    ecdir = os.path.join(REPO, "tests", "data", "ec")
+    genomes = sorted(
+        os.path.join(ecdir, f) for f in os.listdir(ecdir)
+        if f.endswith(".fna.gz")
+    )
+    name_map = {}
+    for gi, g in enumerate(genomes):
+        name_map[accession_from_header(fastx.first_header(g))] = 11 + gi
+    sp = Spacer(K, K)
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        tbl = device_lca_map(genomes, tree, name_map, sp)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return tbl.n / best
+
+
 def main():
     steps = int(os.environ.get("BENCH_STEPS", 30))
     passes = int(os.environ.get("BENCH_CLI_PASSES", 20))
+    sustain_passes = int(os.environ.get("BENCH_SUSTAIN_PASSES", 100))
     db, tree, build_kmers_per_s = build_db()
 
     import jax
@@ -241,6 +398,22 @@ def main():
         f"taxid agreement vs oracle: {agreement}",
         file=sys.stderr,
     )
+    miseq_pct = miseq_agreement(db, tree)
+    print(f"# MiSeq taxid agreement: {miseq_pct}", file=sys.stderr)
+    pe_pct = paired_golden_identical()
+    print(f"# paired golden identical lines: {pe_pct}%", file=sys.stderr)
+    sus_rps, rss_mb = sustained_stream(db, tree, sustain_passes)
+    print(
+        f"# sustained {sustain_passes * 10}k-read stream: "
+        f"{sus_rps:,.0f} reads/s, peak RSS {rss_mb:,.0f} MB",
+        file=sys.stderr,
+    )
+    dev_build = None
+    if os.environ.get("BENCH_DEVICE_BUILD", "1") != "0":
+        dev_build = device_build_throughput()
+        print(
+            f"# device build: {dev_build:,.0f} kmers/s", file=sys.stderr
+        )
     print(
         json.dumps(
             dict(
@@ -253,7 +426,15 @@ def main():
                     step_rps / BASELINE_READS_PER_S, 4
                 ),
                 db_build_kmers_per_s=round(build_kmers_per_s, 1),
+                device_build_kmers_per_s=(
+                    None if dev_build is None else round(dev_build, 1)
+                ),
                 taxid_agreement_pct=agreement,
+                miseq_taxid_agreement_pct=miseq_pct,
+                paired_golden_identical_pct=pe_pct,
+                sustained_reads_per_s=round(sus_rps, 1),
+                sustained_reads=sustain_passes * 10000,
+                sustained_peak_rss_mb=round(rss_mb, 1),
             )
         )
     )

@@ -105,12 +105,12 @@ def unpack_2bit(pcodes, nmask=None):
     mshift = jnp.arange(32, dtype=jnp.uint32)
     nm = (
         ((nmask[:, :, None] >> mshift) & jnp.uint32(1)) != 0
-    ).reshape(B, L16 * 16)
+    ).reshape(B, nmask.shape[1] * 32)[:, : L16 * 16]
     return jnp.where(nm, jnp.int8(-1), c)
 
 
 def build_step_outputs(taxon, taxa, hit, valid, valid1, maxr,
-                       dict16: bool = False):
+                       dict_size: Optional[int] = None):
     """Device-side (compact, full) output matrices from per-position
     classify results — shared by the single-chip and sharded steps so
     both host pipelines fetch the same byte-light layout.
@@ -119,26 +119,31 @@ def build_step_outputs(taxon, taxa, hit, valid, valid1, maxr,
     no hit); hit/valid (R, W); valid1 (R,) u32 mate-1 kmer counts;
     maxr = compact run capacity.
 
-    dict16=True means ``taxa`` holds 16-bit DICTIONARY INDICES into the
-    host-replicated unique-taxid table instead of 32-bit taxids (the
-    probe's value index is a free by-product, db/table.py
-    probe_slots_device want_idx); the host maps indices back after the
-    fetch.  Run indices then pack two-per-u32 and run lengths four-per-u32
-    when W <= 255, cutting the dominant device->host transfer from
-    60 B/read to 36 B/read at maxr=8 (the reference's output needs only
-    the run stream, classifier.h:112-129).
+    dict_size (the DB's distinct-value count) means ``taxa`` holds
+    DICTIONARY INDICES into the host-replicated unique-taxid table
+    instead of 32-bit taxids (the probe's value index is a free
+    by-product, db/table.py probe_slots_device want_idx); the host maps
+    indices back after the fetch.  Run indices then pack at the
+    narrowest sufficient width (4/8/16 bits), run lengths at 8 bits when
+    W fits a byte, and the head at two words — 20 B/read at maxr=8 for a
+    small dictionary, vs 60 B for the plain u32 layout (the reference's
+    output needs only the run stream, classifier.h:112-129; the
+    host<->device pipe, which serializes with compute over the hosted
+    tunnel, bounds end-to-end throughput).
 
     * full: positional [head | hit-bitmask words | taxa] (R, 4+ceil(W/32)+W)
-      (dictionary indices in the taxa block when dict16)
+      (dictionary indices in the taxa block when dict_size is set)
     * compact: device-side RLE of the hit-taxa stream (append_taxa_runs,
-      classifier.h:45-61); layouts by (dict16, W):
-        dict16, W<=255 : [taxon | miss|kmers<<16 | kmers1|n_runs<<16 |
-                          run idx 2/u32 | run lens 4/u32]
-        dict16, W<2^15 : same but run lens 2/u32
-        plain,  W<2^15 : [taxon | miss|kmers<<16 | kmers1|n_runs<<16 |
-                          run_vals*maxr | run lens 2/u32]
-        else           : [taxon | miss | kmers | kmers1 | n_runs |
-                          run_vals*maxr | run_lens*maxr]."""
+      classifier.h:45-61); layouts:
+        dict, W<=255 : [taxon | miss|kmers<<8|kmers1<<16|nruns<<24 |
+                        run idx vb-bit packed | run lens 4/u32]
+        dict, W<2^15 : [taxon | miss|kmers<<16 | kmers1|n_runs<<16 |
+                        run idx vb-bit packed | run lens 2/u32]
+        plain, W<2^15: [taxon | miss|kmers<<16 | kmers1|n_runs<<16 |
+                        run_vals*maxr | run lens 2/u32]
+        else         : [taxon | miss | kmers | kmers1 | n_runs |
+                        run_vals*maxr | run_lens*maxr]
+      with vb = 4 (dict_size <= 16), 8 (<= 256), else 16."""
     import jax.numpy as jnp
     from jax import lax
 
@@ -194,41 +199,47 @@ def build_step_outputs(taxon, taxa, hit, valid, valid1, maxr,
         axis=1,
         dtype=jnp.uint32,
     )
-    def pack2(a):
-        ev, od = a[:, 0::2], a[:, 1::2]
-        if a.shape[1] % 2:
-            od = jnp.concatenate([od, jnp.zeros((R, 1), jnp.uint32)], axis=1)
-        return (ev & jnp.uint32(0xFFFF)) | (od << 16)
+    def packbits(a, vb):
+        """Pack u32 lanes of < 2^vb values into u32 words, 32//vb per
+        word, little-endian within the word."""
+        per = 32 // vb
+        pad = (-a.shape[1]) % per
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((R, pad), jnp.uint32)], axis=1)
+        a = a.reshape(R, -1, per)
+        sh = jnp.arange(per, dtype=jnp.uint32) * vb
+        return jnp.sum(a << sh, axis=-1, dtype=jnp.uint32)
 
     if W < (1 << 15):
-        # u16-packed layout: every counter and run length fits 16 bits
+        # packed layouts: every counter and run length fits 16 bits
         # because the position count W fits 15
         u16 = jnp.uint32(0xFFFF)
-        h1 = (head[:, 1] & u16) | (head[:, 2] << 16)
-        h2 = (head[:, 3] & u16) | (n_runs << 16)
-        if dict16:
-            # run values are dictionary indices < 2^16: two per word; run
-            # lengths <= W: four per word when W fits a byte
-            vals_packed = pack2(run_vals)
+        if dict_size is not None:
+            # run values are dictionary indices: narrowest viable width
+            vb = 4 if dict_size <= 16 else (8 if dict_size <= 256 else 16)
+            vals_packed = packbits(run_vals, vb)
+            lens_packed = packbits(run_lens, 8 if W <= 255 else 16)
             if W <= 255:
-                pad4 = (-maxr) % 4
-                rl4 = run_lens
-                if pad4:
-                    rl4 = jnp.concatenate(
-                        [rl4, jnp.zeros((R, pad4), jnp.uint32)], axis=1
-                    )
-                rl4 = rl4.reshape(R, -1, 4)
-                sh8 = jnp.arange(4, dtype=jnp.uint32) * 8
-                lens_packed = jnp.sum(rl4 << sh8, axis=-1, dtype=jnp.uint32)
+                # every head counter fits a byte: 2-word head
+                h1 = (
+                    head[:, 1]
+                    | (head[:, 2] << 8)
+                    | (head[:, 3] << 16)
+                    | (n_runs << 24)
+                )
+                hcols = [head[:, :1], h1[:, None]]
             else:
-                lens_packed = pack2(run_lens)
+                h1 = (head[:, 1] & u16) | (head[:, 2] << 16)
+                h2 = (head[:, 3] & u16) | (n_runs << 16)
+                hcols = [head[:, :1], h1[:, None], h2[:, None]]
         else:
             vals_packed = run_vals
-            lens_packed = pack2(run_lens)
+            lens_packed = packbits(run_lens, 16)
+            h1 = (head[:, 1] & u16) | (head[:, 2] << 16)
+            h2 = (head[:, 3] & u16) | (n_runs << 16)
+            hcols = [head[:, :1], h1[:, None], h2[:, None]]
         compact = jnp.concatenate(
-            [head[:, :1], h1[:, None], h2[:, None], vals_packed,
-             lens_packed],
-            axis=1,
+            hcols + [vals_packed, lens_packed], axis=1
         )
     else:
         compact = jnp.concatenate(
@@ -327,6 +338,7 @@ class Classifier:
         inline = self._arrays[2]
         maxr = self.max_runs if maxr is None else maxr
         dict16 = self._uniq_host is not None
+        dict_size = len(self._uniq_host) if dict16 else None
         ndist = self._n_distinct
 
         def step(codes, lengths, slots, vals):
@@ -359,45 +371,80 @@ class Classifier:
             taxon = tax["tax_ids"][taxon_c].astype(jnp.uint32)
             taxa = jnp.where(hit, oidx, 0).astype(jnp.uint32)
             return build_step_outputs(
-                taxon, taxa, hit, valid, valid1, maxr, dict16=dict16
+                taxon, taxa, hit, valid, valid1, maxr, dict_size=dict_size
             )
 
         return jax.jit(step)
 
     def _make_step_packed(self, paired: bool = False,
-                          maxr: Optional[int] = None, with_n: bool = True):
+                          maxr: Optional[int] = None,
+                          with_n: str = "mask",
+                          lproc: Optional[int] = None):
         """Same step, but reads arrive as 2-bit-packed u32 words plus an
         N-bitmask — 4.5x fewer bytes over the host->device link (the
         design rule: minimize host<->device transfers).  Unpacking is a
-        few VPU shifts fused into the encode.  with_n=False compiles the
-        no-N variant that takes no bitmask at all (see unpack_2bit)."""
+        few VPU shifts fused into the encode.  with_n selects the
+        ambiguity channel: "mask" (full bitmask), "sparse" (a short flat
+        index list scattered on device — in-read Ns are rare in real
+        read sets), or "none" (no channel at all).
+
+        ``lproc`` slices the unpacked codes to the batch's (8-rounded)
+        true max read length before the encoder, so the probe runs at
+        P = lproc - c + 1 positions instead of the 32-aligned upload
+        width's — for 101 bp reads in a 128-wide bucket that is 24% fewer
+        row gathers, the step's dominant cost."""
         import jax
 
         body = self._make_step(paired, maxr)
 
-        if with_n:
+        import jax.numpy as jnp
+
+        def slice_cast(codes, lengths):
+            if lproc is not None and lproc < codes.shape[1]:
+                codes = codes[:, :lproc]
+            # lengths may arrive u16 (2 B/read on the wire); the encoder
+            # needs signed arithmetic
+            return codes, lengths.astype(jnp.int32)
+
+        if with_n == "mask":
             def step_packed(pcodes, nmask, lengths, slots, vals):
-                codes = unpack_2bit(pcodes, nmask)
+                codes, lengths = slice_cast(unpack_2bit(pcodes, nmask),
+                                            lengths)
+                return body(codes, lengths, slots, vals)
+        elif with_n == "sparse":
+            # rare in-read Ns arrive as a short list of flat (row*lproc +
+            # col) positions (sentinel-padded); one tiny device scatter
+            # replaces the full bitmask upload
+            def step_packed(pcodes, nidx, lengths, slots, vals):
+                codes, lengths = slice_cast(unpack_2bit(pcodes), lengths)
+                B, L = codes.shape
+                codes = (
+                    codes.reshape(-1)
+                    .at[nidx.astype(jnp.int32)]
+                    .set(jnp.int8(-1), mode="drop")
+                    .reshape(B, L)
+                )
                 return body(codes, lengths, slots, vals)
         else:
             def step_packed(pcodes, lengths, slots, vals):
-                codes = unpack_2bit(pcodes)
+                codes, lengths = slice_cast(unpack_2bit(pcodes), lengths)
                 return body(codes, lengths, slots, vals)
 
         return jax.jit(step_packed)
 
     def _step(self, paired: bool = False, packed: bool = False,
-              with_n: bool = True):
+              with_n: str = "mask", lproc: Optional[int] = None):
         """(compiled_fn, maxr) — the run capacity is cached WITH the
         function so the adaptive max_runs bump (writer thread) can never
         mismatch a compiled step against a different parse width: callers
         take both from one atomic tuple."""
-        key = ("fn", paired, packed, with_n)
+        key = ("fn", paired, packed, with_n, lproc)
         maxr = self.max_runs
         ent = self._step_cache.get(key)
         if ent is None or ent[1] != maxr:
             fn = (
-                self._make_step_packed(paired, maxr, with_n) if packed
+                self._make_step_packed(paired, maxr, with_n, lproc)
+                if packed
                 else self._make_step(paired, maxr)
             )
             ent = (fn, maxr)
@@ -480,31 +527,67 @@ class Classifier:
             lengths[:n] = batch.lengths
         # -1 codes are either in-read Ns or tail padding; padding totals
         # Bp*Lp - sum(lengths), so any excess negative count means a real
-        # ambiguous base and the batch needs the N-bitmask upload
+        # ambiguous base and the batch needs an ambiguity channel
         n_neg = int((codes < 0).sum())
-        has_n = n_neg > Bp * Lp - int(lengths.sum())
-        pcodes, nmask = self.pack_codes(codes, with_nmask=has_n)
+        n_inread = n_neg - (Bp * Lp - int(lengths.sum()))
+        # processing width: the batch's true max read length rounded up to
+        # 8 (a bounded compiled-shape set) — the device step slices the
+        # unpacked codes here, and the upload ships only the covering
+        # 16-code words, instead of both paying the 32-aligned bucket
+        maxlen = int(batch.lengths.max()) if n else 0
+        lproc = min(Lp, max((maxlen + 7) & ~7, 8))
+        w16 = (lproc + 15) // 16
+        cap = max(64, Bp // 32)
+        nmode = "none"
+        naux = None
+        if n_inread > 0:
+            if self._sparse_n_ok() and n_inread <= cap:
+                # rare Ns: ship flat positions, scatter -1 on device
+                inread = (codes < 0) & (
+                    np.arange(Lp, dtype=np.int32) < lengths[:, None]
+                )
+                rr, cc = np.nonzero(inread)
+                naux = np.full(cap, 0x7FFFFFFF, dtype=np.uint32)  # dropped
+                naux[: rr.size] = (rr * lproc + cc).astype(np.uint32)
+                nmode = "sparse"
+            else:
+                nmode = "mask"
+        pcodes, nmask = self.pack_codes(codes, with_nmask=nmode == "mask")
+        pcodes = np.ascontiguousarray(pcodes[:, :w16])
+        if nmode == "mask":
+            naux = np.ascontiguousarray(nmask[:, : (w16 + 1) // 2])
+        if maxlen <= 0xFFFF:
+            lengths = lengths.astype(np.uint16)  # halve the lengths upload
         return (
             self._to_device(pcodes),
-            self._to_device(nmask) if has_n else None,
+            self._to_device(naux) if naux is not None else None,
             self._to_device(lengths),
-            Lp,
+            lproc,
+            nmode,
         )
+
+    def _sparse_n_ok(self) -> bool:
+        """Sparse-N scatter uses batch-global flat indices, valid only
+        when the batch is not row-sharded across devices (the sharded
+        classifier overrides this)."""
+        return True
 
     def _dispatch_prepared(self, prep, paired: bool = False):
         """Device half: run the compact step on prepared inputs and start
         the device->host copy of the compact matrix (it enqueues behind
         the computation, so the transfer overlaps later batches' compute
         instead of serializing inside the writer thread's np.asarray)."""
-        pcodes, nmask, lengths, Lp = prep
-        step, maxr = self._step(paired, packed=True, with_n=nmask is not None)
-        if nmask is None:
+        pcodes, naux, lengths, lproc, nmode = prep
+        step, maxr = self._step(
+            paired, packed=True, with_n=nmode, lproc=lproc
+        )
+        if naux is None:
             compact, full = step(
                 pcodes, lengths, self._arrays[0], self._arrays[1]
             )
         else:
             compact, full = step(
-                pcodes, nmask, lengths, self._arrays[0], self._arrays[1]
+                pcodes, naux, lengths, self._arrays[0], self._arrays[1]
             )
         try:
             compact.copy_to_host_async()
@@ -513,7 +596,7 @@ class Classifier:
         # max_runs may be bumped between dispatch and finish (adaptive
         # overflow handling under pipelining): the in-flight output carries
         # the SAME maxr the compiled step was built with (atomic tuple)
-        return compact, full, Lp, maxr
+        return compact, full, lproc, maxr
 
     def _dispatch_batch(self, batch: fastx.ReadBatch, paired: bool = False):
         return self._dispatch_prepared(
@@ -532,42 +615,66 @@ class Classifier:
         # batch size).  The full positional matrix stays on device unless
         # some read overflows the run capacity.
         cm = np.asarray(compact_dev)[:R]
+        return self._finish_arrays(
+            batch, cm, lambda: np.asarray(full_dev)[:R], Lp, maxr,
+            paired, force_full,
+        )
+
+    def _finish_arrays(
+        self, batch: fastx.ReadBatch, cm: np.ndarray, fetch_full,
+        Lp: int, maxr: int, paired: bool = False,
+        force_full: bool = False, allow_bump: bool = True,
+    ) -> BatchResult:
+        """Decode a (row-matched) compact matrix + batch slice into a
+        BatchResult.  ``fetch_full`` lazily returns the row-matched full
+        positional matrix (only called on run-capacity overflow).  The
+        distributed per-rank pipeline feeds LOCAL device shards here;
+        allow_bump=False there keeps the compiled-step choice identical
+        across processes (a per-process max_runs bump would diverge the
+        traced collectives)."""
+        n = len(batch.names)
+        R = n // 2 if paired else n
         P_pad = max(Lp - self.sp.c + 1, 0)
         W_pad = 2 * P_pad if paired else P_pad
         uniq = getattr(self, "_uniq_host", None)
         dict16 = uniq is not None
 
-        def unpack2(words, count):
-            out = np.empty((cm.shape[0], 2 * words.shape[1]), np.uint32)
-            out[:, 0::2] = words & 0xFFFF
-            out[:, 1::2] = words >> 16
+        def unpackbits(words, vb, count):
+            per = 32 // vb
+            mask = (1 << vb) - 1
+            out = np.empty((cm.shape[0], per * words.shape[1]), np.uint32)
+            for j in range(per):
+                out[:, j::per] = (words >> (vb * j)) & mask
             return out[:, :count]
 
         if W_pad < (1 << 15):
-            # packed layout (see build_step_outputs): u16 counters
+            # packed layouts (see build_step_outputs)
             taxon = cm[:, 0]
-            n_missing = (cm[:, 1] & 0xFFFF).astype(np.int32)
-            n_kmers = (cm[:, 1] >> 16).astype(np.int32)
-            n_kmers1 = (cm[:, 2] & 0xFFFF).astype(np.int32)
-            n_runs = cm[:, 2] >> 16
-            if dict16:
-                nv = (maxr + 1) // 2
-                rv = unpack2(cm[:, 3 : 3 + nv], maxr)
-                if W_pad <= 255:
-                    nl = (maxr + 3) // 4
-                    lw = cm[:, 3 + nv : 3 + nv + nl]
-                    rl = np.empty((cm.shape[0], 4 * nl), np.uint32)
-                    for j in range(4):
-                        rl[:, j::4] = (lw >> (8 * j)) & 0xFF
-                    rl = rl[:, :maxr]
-                else:
-                    rl = unpack2(
-                        cm[:, 3 + nv : 3 + nv + (maxr + 1) // 2], maxr
-                    )
+            if dict16 and W_pad <= 255:
+                h1 = cm[:, 1]
+                n_missing = (h1 & 0xFF).astype(np.int32)
+                n_kmers = ((h1 >> 8) & 0xFF).astype(np.int32)
+                n_kmers1 = ((h1 >> 16) & 0xFF).astype(np.int32)
+                n_runs = h1 >> 24
+                off = 2
             else:
-                rv = cm[:, 3 : 3 + maxr]
-                rl = unpack2(
-                    cm[:, 3 + maxr : 3 + maxr + (maxr + 1) // 2], maxr
+                n_missing = (cm[:, 1] & 0xFFFF).astype(np.int32)
+                n_kmers = (cm[:, 1] >> 16).astype(np.int32)
+                n_kmers1 = (cm[:, 2] & 0xFFFF).astype(np.int32)
+                n_runs = cm[:, 2] >> 16
+                off = 3
+            if dict16:
+                vb = 4 if uniq.size <= 16 else (8 if uniq.size <= 256 else 16)
+                nv = -(-maxr // (32 // vb))
+                rv = unpackbits(cm[:, off : off + nv], vb, maxr)
+                lb = 8 if W_pad <= 255 else 16
+                nl = -(-maxr // (32 // lb))
+                rl = unpackbits(cm[:, off + nv : off + nv + nl], lb, maxr)
+            else:
+                rv = cm[:, off : off + maxr]
+                rl = unpackbits(
+                    cm[:, off + maxr : off + maxr + (maxr + 1) // 2], 16,
+                    maxr,
                 )
         else:
             taxon = cm[:, 0]
@@ -583,7 +690,7 @@ class Classifier:
             rv = uniq[np.minimum(rv, np.uint32(uniq.size - 1))]
         taxa = hit = run_vals = run_lens = None
         overflowed = bool(n_runs.size and int(n_runs.max()) > maxr)
-        if overflowed and not force_full:
+        if overflowed and not force_full and allow_bump:
             # run-rich dataset: after a few full-matrix fallbacks, double
             # the device-side run capacity (one recompile) so later
             # batches go back to the small compact fetch
@@ -605,7 +712,7 @@ class Classifier:
             P = max(P, 0)
             W = 2 * P if paired else P
             hb = (W + 31) // 32
-            fm = np.asarray(full_dev)[:R]
+            fm = fetch_full()
             hit_words = fm[:, 4 : 4 + hb]
             taxa = fm[:, 4 + hb :]
             if W:

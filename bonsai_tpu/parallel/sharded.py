@@ -173,13 +173,15 @@ class ShardedClassifier:
         self.n_unclassified = 0
 
     def _build_fn(self, paired: bool = False, compact: bool = False,
-                  maxr: Optional[int] = None, with_n: bool = True):
+                  maxr: Optional[int] = None, with_n: str = "mask",
+                  lproc: Optional[int] = None):
         if self.route == "a2a" and self.ndb > 1:
-            return self._build_fn_a2a(paired, compact, maxr, with_n)
-        return self._build_fn_psum(paired, compact, maxr, with_n)
+            return self._build_fn_a2a(paired, compact, maxr, with_n, lproc)
+        return self._build_fn_psum(paired, compact, maxr, with_n, lproc)
 
     def _wrap_steps(self, core, compact: bool, spec0, table_specs,
-                    maxr: Optional[int] = None, with_n: bool = True):
+                    maxr: Optional[int] = None, with_n: str = "mask",
+                    lproc: Optional[int] = None):
         """shard_map a route's core into either the raw 6-tuple step
         (tests / step()) or the compact (RLE + full) step used by the
         host CLI pipeline — the SAME byte-light output layout and 2-bit
@@ -194,26 +196,30 @@ class ShardedClassifier:
         mesh = self.mesh
         maxr = self.max_runs if maxr is None else maxr
         dict16 = compact and self._uniq_host is not None
+        dict_size = len(self._uniq_host) if dict16 else None
 
         if compact:
             def finish_local(codes, lengths, slots, vals):
+                if lproc is not None and lproc < codes.shape[1]:
+                    codes = codes[:, :lproc]
+                lengths = lengths.astype(jnp.int32)  # may arrive u16
                 taxon, vo, hit, valid, valid1 = core(
                     codes, lengths, slots, vals
                 )
                 taxa = jnp.where(hit, vo, 0).astype(jnp.uint32)
                 return build_step_outputs(
                     taxon.astype(jnp.uint32), taxa, hit, valid,
-                    valid1.astype(jnp.uint32), maxr, dict16=dict16,
+                    valid1.astype(jnp.uint32), maxr, dict_size=dict_size,
                 )
 
-            if with_n:
+            if with_n == "mask":
                 def local_step(pcodes, nmask, lengths, slots, vals):
                     return finish_local(
                         unpack_2bit(pcodes, nmask), lengths, slots, vals
                     )
 
                 in_specs = (spec0, spec0, spec0) + table_specs
-            else:
+            else:  # "none" (sparse-N is single-chip only, _sparse_n_ok)
                 def local_step(pcodes, lengths, slots, vals):
                     return finish_local(
                         unpack_2bit(pcodes), lengths, slots, vals
@@ -246,7 +252,8 @@ class ShardedClassifier:
         return jax.jit(fn)
 
     def _build_fn_a2a(self, paired: bool = False, compact: bool = False,
-                      maxr: Optional[int] = None, with_n: bool = True):
+                      maxr: Optional[int] = None, with_n: str = "mask",
+                      lproc: Optional[int] = None):
         """all_to_all-routed probe over hash-prefix sub-tables.
 
         Reads shard over BOTH mesh axes; each device encodes its own
@@ -412,11 +419,12 @@ class ShardedClassifier:
         return self._wrap_steps(
             core, compact, spec0=P(both),
             table_specs=(P("db"), P() if inline else P("db")), maxr=maxr,
-            with_n=with_n,
+            with_n=with_n, lproc=lproc,
         )
 
     def _build_fn_psum(self, paired: bool = False, compact: bool = False,
-                       maxr: Optional[int] = None, with_n: bool = True):
+                       maxr: Optional[int] = None, with_n: str = "mask",
+                       lproc: Optional[int] = None):
         import jax
         import jax.numpy as jnp
         shard_map = jax.shard_map
@@ -503,7 +511,7 @@ class ShardedClassifier:
         return self._wrap_steps(
             core, compact, spec0=P("dp"),
             table_specs=(P("db"), P() if self._inline else P("db")),
-            maxr=maxr, with_n=with_n,
+            maxr=maxr, with_n=with_n, lproc=lproc,
         )
 
     def gather_rows_per_step(self, n_reads: int, read_len: int,
@@ -789,6 +797,11 @@ class ShardedClassifier:
         ranks = self.ndp * self.ndb if self.route == "a2a" else self.ndp
         return ranks * 2 if paired else ranks
 
+    def _sparse_n_ok(self) -> bool:
+        # sparse-N flat indices are batch-global; rows here are sharded
+        # across devices, so fall back to the full bitmask channel
+        return False
+
     def _bucket_batch(self, n: int) -> int:
         from ..classify.pipeline import Classifier
 
@@ -812,22 +825,21 @@ class ShardedClassifier:
         """Device half of the shared host pipeline: run the compact
         (RLE + full) sharded step and start the device->host copy — the
         same transfer-light layout the single-chip pipeline fetches."""
-        pcodes, nmask, lengths, Lp = prep
-        with_n = nmask is not None
-        key = ("compact", paired, with_n)
+        pcodes, naux, lengths, lproc, nmode = prep
+        key = ("compact", paired, nmode, lproc)
         maxr = self.max_runs
         ent = self._fns.get(key)
         if ent is None or ent[1] != maxr:
             ent = (
                 self._build_fn(paired, compact=True, maxr=maxr,
-                               with_n=with_n),
+                               with_n=nmode, lproc=lproc),
                 maxr,
             )
             self._fns[key] = ent
         fn, maxr = ent
-        if with_n:
+        if nmode == "mask":
             compact, full = fn(
-                pcodes, nmask, lengths, self._slots, self._vals
+                pcodes, naux, lengths, self._slots, self._vals
             )
         else:
             compact, full = fn(pcodes, lengths, self._slots, self._vals)
@@ -835,7 +847,7 @@ class ShardedClassifier:
             compact.copy_to_host_async()
         except (AttributeError, NotImplementedError):
             pass
-        return compact, full, Lp, maxr
+        return compact, full, lproc, maxr
 
     def _dispatch_batch(self, batch, paired: bool = False):
         return self._dispatch_prepared(
@@ -848,6 +860,11 @@ class ShardedClassifier:
 
         return Classifier._finish_batch(self, batch, out, paired, force_full)
 
+    def _finish_arrays(self, *args, **kwargs):
+        from ..classify.pipeline import Classifier
+
+        return Classifier._finish_arrays(self, *args, **kwargs)
+
     def _write_result(self, out_fh, batch, out, is_paired):
         from ..classify.pipeline import Classifier
 
@@ -858,15 +875,148 @@ class ShardedClassifier:
         """Classify a dataset over the mesh and write text output — the
         SAME pipelined host loop as the single-chip classifier (writer
         thread, async fetches, compact RLE transfers), byte-identical
-        output.  Emit flags come from the constructor.  Single-controller
-        only: per-process output sharding for jax.distributed runs is out
-        of scope (results are host-gathered)."""
+        output.  Emit flags come from the constructor.  For
+        jax.distributed runs use process_dataset_distributed (per-rank
+        output files; fetching a global array on one controller is not
+        possible across processes)."""
         from ..classify.pipeline import Classifier
 
         return Classifier.process_dataset(
             self, path, out_fh, mate_path=mate_path, batch_size=batch_size,
             profile=profile,
         )
+
+    # -- multi-host per-rank I/O ------------------------------------------
+    def process_dataset_distributed(self, path, out_dir: str,
+                                    mate_path=None, batch_size: int = 4096):
+        """Pod-scale classify with PER-PROCESS output: every process
+        dispatches the same sequence of global steps (the a2a/psum
+        collectives span the whole mesh), but each process fetches,
+        formats, and writes ONLY the result rows held by its own devices
+        (jax.Array addressable_shards) — no host gather, output I/O
+        scales with 1/nproc per host.
+
+        Writes ``part-{pid:05d}.tsv`` plus a ``.idx`` sidecar of
+        per-batch byte counts; ``merge_distributed_output(out_dir, fh)``
+        reassembles the exact single-process byte stream (per batch,
+        ranks concatenate in global row order).  Matches the reference's
+        full-speed streaming emitter (classifier.h:296-337) at N hosts.
+
+        The adaptive max_runs bump is disabled here: a per-process bump
+        would recompile a different step on one process and deadlock the
+        collectives; run-capacity overflow instead falls back to the
+        (locally fetched) full positional shards per batch."""
+        import json as _json
+
+        import jax
+
+        from ..classify.pipeline import BatchResult, Classifier
+        from ..classify import output as out_mod
+        from ..io import fastx
+
+        pid = jax.process_index()
+        os.makedirs(out_dir, exist_ok=True)
+        part = os.path.join(out_dir, f"part-{pid:05d}.tsv")
+        idx = []
+        is_paired = mate_path is not None
+        if is_paired and batch_size % 2:
+            batch_size += 1
+        n_rows_written = 0
+        with open(part, "w") as fh:
+            for batch in fastx.batch_reads(
+                path, self.lut, batch_size=batch_size, mate_path=mate_path
+            ):
+                out = self._dispatch_batch(batch, is_paired)
+                compact_dev, full_dev, lproc, maxr = out
+                n = len(batch.names)
+                R = n // 2 if is_paired else n
+                pieces = []  # [row_start, nbytes] per local shard
+                seen = set()  # psum-route outputs replicate over 'db'
+                for shard in sorted(
+                    compact_dev.addressable_shards,
+                    key=lambda s: s.index[0].start or 0,
+                ):
+                    rsl = shard.index[0]
+                    r0 = rsl.start or 0
+                    r1 = min(rsl.stop if rsl.stop is not None else R, R)
+                    if r1 <= r0 or r0 in seen:
+                        continue
+                    seen.add(r0)
+                    cm = np.asarray(shard.data)[: r1 - r0]
+                    sub = self._slice_batch(batch, r0, r1, is_paired)
+
+                    def fetch_full(r0=r0, r1=r1, rsl=rsl):
+                        for fs in full_dev.addressable_shards:
+                            fsl = fs.index[0]
+                            if (fsl.start or 0) == (rsl.start or 0):
+                                return np.asarray(fs.data)[: r1 - r0]
+                        raise RuntimeError("full shard not local")
+
+                    res = Classifier._finish_arrays(
+                        self, sub, cm, fetch_full, lproc, maxr,
+                        is_paired, allow_bump=False,
+                    )
+                    text = out_mod.format_batch(
+                        res, self.sp.c, emit_all=self.emit_all,
+                        emit_kraken=self.emit_kraken,
+                        emit_fastq=self.emit_fastq,
+                    )
+                    fh.write(text)
+                    pieces.append([int(r0), len(text.encode("utf-8"))])
+                    n_rows_written += r1 - r0
+                idx.append(pieces)
+        with open(part + ".idx", "w") as fh:
+            _json.dump(dict(pid=pid, batches=idx), fh)
+        return n_rows_written
+
+    def _slice_batch(self, batch, r0: int, r1: int, paired: bool):
+        """Row-range [r0, r1) of a ReadBatch (pair rows when paired)."""
+        from ..io import fastx
+
+        if paired:
+            a, b = 2 * r0, 2 * r1
+        else:
+            a, b = r0, r1
+        return fastx.ReadBatch(
+            names=batch.names[a:b], seqs=batch.seqs[a:b],
+            codes=batch.codes[a:b], lengths=batch.lengths[a:b],
+            quals=batch.quals[a:b] if batch.quals else None,
+        )
+
+
+def merge_distributed_output(out_dir: str, out_fh) -> int:
+    """Reassemble per-rank part files (process_dataset_distributed) into
+    the exact byte stream the single-process pipeline would have written:
+    for every batch, the per-shard text pieces from all ranks concatenate
+    in global row order.  Returns the number of bytes written."""
+    import glob
+    import json as _json
+
+    parts = sorted(glob.glob(os.path.join(out_dir, "part-*.tsv")))
+    idxs = []
+    fhs = []
+    for p in parts:
+        with open(p + ".idx") as fh:
+            idxs.append(_json.load(fh)["batches"])
+        fhs.append(open(p, "rb"))
+    try:
+        n_batches = max((len(i) for i in idxs), default=0)
+        total = 0
+        for b in range(n_batches):
+            pieces = []  # (row_start, rank, nbytes)
+            for rank, ix in enumerate(idxs):
+                if b < len(ix):
+                    for r0, nb in ix[b]:
+                        pieces.append((r0, rank, nb))
+            # files are written in this same per-rank order, so reading
+            # sequentially per rank while emitting in row order is exact
+            for r0, rank, nb in sorted(pieces):
+                out_fh.write(fhs[rank].read(nb).decode("utf-8"))
+                total += nb
+        return total
+    finally:
+        for fh in fhs:
+            fh.close()
 
 
 def sharded_encode_contig(codes, k: int, mesh, canonical: bool = True):

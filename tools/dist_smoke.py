@@ -156,22 +156,79 @@ def worker(pid: int, nproc: int, addr: str) -> int:
         f"{sorted(my_ranks)} ({sorted(loaded)}); output exact",
         flush=True,
     )
+
+    # phase 3 — per-rank classify I/O: the full file pipeline with
+    # PER-PROCESS output files (each process fetches/formats only its
+    # devices' rows; no host gather), merged back to the single-process
+    # byte stream and diffed.  DIST_SMOKE_DIR is one shared directory
+    # created by the launcher (both workers run on this machine — on a
+    # real pod each host writes to its own storage and the merge runs
+    # wherever all parts land).
+    import io
+    import time
+
+    from bonsai_tpu.parallel.sharded import merge_distributed_output
+    import jax.experimental.multihost_utils as mhu
+
+    share = os.environ["DIST_SMOKE_DIR"]
+    fa = os.path.join(share, "reads.fa")
+    if pid == 0:
+        rng2 = np.random.default_rng(7)
+        bases2 = np.array(list(b"ACGT"), dtype=np.uint8)
+        with open(fa + ".tmp", "w") as fh:
+            for i in range(400):
+                s = bases2[rng2.integers(0, 4, 120)].tobytes().decode()
+                fh.write(f">q{i}\n{s}\n")
+        os.replace(fa + ".tmp", fa)
+    mhu.sync_global_devices("reads-written")
+    scd = ShardedClassifier(db, tree, mesh, route="a2a", emit_all=True)
+    outdir = os.path.join(share, "parts")
+    t0 = time.time()
+    # batch_size >= the 256-row pow2 bucket so real rows actually spread
+    # across the mesh (smaller batches pad and concentrate on rank 0)
+    nrows = scd.process_dataset_distributed(fa, outdir, batch_size=256)
+    t_dist = time.time() - t0
+    assert 0 < nrows < 400, f"rows did not spread across ranks: {nrows}"
+    mhu.sync_global_devices("parts-written")
+    if pid == 0:
+        single2 = Classifier(db, tree, emit_all=True)
+        ref_fh = io.StringIO()
+        t0 = time.time()
+        single2.process_dataset(fa, ref_fh, batch_size=256)
+        t_single = time.time() - t0
+        merged = io.StringIO()
+        merge_distributed_output(outdir, merged)
+        assert merged.getvalue() == ref_fh.getvalue(), (
+            "merged per-rank output != single-process stream"
+        )
+        print(
+            f"[proc {pid}] ok: phase 3 per-rank classify I/O — merged "
+            f"2-process output byte-identical to single-process "
+            f"({nrows} local rows of 400; wall 2-proc {t_dist:.2f}s / "
+            f"1-proc {t_single:.2f}s — both processes share this "
+            f"machine's 2 cores, so wall here validates function, not "
+            f"scaling)",
+            flush=True,
+        )
     return 0
 
 
 def launch() -> int:
     import socket
+    import tempfile
 
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
     addr = f"localhost:{port}"
+    share = tempfile.mkdtemp(prefix="dist_smoke_")
+    env = dict(os.environ, DIST_SMOKE_DIR=share)
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker",
              str(i), str(NPROC), addr],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            cwd=REPO,
+            cwd=REPO, env=env,
         )
         for i in range(NPROC)
     ]
