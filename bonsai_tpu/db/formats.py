@@ -134,6 +134,33 @@ def load_database(path: str) -> Database:
 
 # -- sharded on-disk layout ---------------------------------------------------
 
+# Measured single-chip gather cliff (PERF.md "Measured gather costs" +
+# tools/scale_bench.py probe sweep): probe row-gathers are flat in table
+# size up to ~128 MB of slot footprint and several-fold slower beyond, so
+# shard placement keeps each rank's slot array under this budget.
+SHARD_SLOT_BUDGET = 128 << 20
+
+
+def table_slot_bytes(n_kmers: int) -> int:
+    """Slot-array bytes of a quotient-cuckoo table holding n_kmers."""
+    from .table import MAX_LOAD, SLOTS, _next_pow2
+
+    nb = max(
+        _next_pow2(max(int(np.ceil(n_kmers / (SLOTS * MAX_LOAD))), 1)), 4
+    )
+    return nb * SLOTS * 8
+
+
+def recommended_shards(n_kmers: int,
+                       budget_bytes: int = SHARD_SLOT_BUDGET) -> int:
+    """Smallest shard count keeping every rank's slot array within the
+    measured flat-gather budget (the automatic placement policy for
+    `build --shards auto` and pod deployments)."""
+    s = 1
+    while table_slot_bytes(-(-n_kmers // s)) > budget_bytes and s < 65536:
+        s *= 2
+    return s
+
 def save_database_sharded(db: Database, dirpath: str, ndb: int,
                           compress: Optional[str] = None) -> None:
     """Write the DB as ndb per-shard files + a JSON manifest (SURVEY §5

@@ -83,7 +83,7 @@ class ShardedClassifier:
         self.capacity_factor = float(
             capacity_factor
             if capacity_factor is not None
-            else os.environ.get("BONSAI_TPU_A2A_CF", 1.25)
+            else os.environ.get("BONSAI_TPU_A2A_CF", 1.05)
         )
 
         table = db.table
@@ -574,7 +574,7 @@ class ShardedClassifier:
         self.capacity_factor = float(
             capacity_factor
             if capacity_factor is not None
-            else os.environ.get("BONSAI_TPU_A2A_CF", 1.25)
+            else os.environ.get("BONSAI_TPU_A2A_CF", 1.05)
         )
         input_type = InputType.DNA if input_type is None else input_type
         k, w, gaps = mf["k"], mf["w"], mf["gaps"]
