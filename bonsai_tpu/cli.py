@@ -68,11 +68,14 @@ def _add_build(sub, name, aliases):
     p.add_argument("--device-build", action="store_true",
                    help="run the k-mer fold on the accelerator "
                         "(db/build_device.py sort-based pipeline)")
-    p.add_argument("--shards", type=int, default=0, metavar="N",
+    p.add_argument("--shards", default="0", metavar="N|auto",
                    help="write OUT_PATH as a DIRECTORY of N hash-prefix "
                         "shard files + manifest (each pod host loads only "
                         "its 'db'-rank shards; partition matches the "
-                        "all_to_all routed probe)")
+                        "all_to_all routed probe).  'auto' picks the "
+                        "smallest count keeping each rank's slot array "
+                        "inside the measured flat-gather budget "
+                        "(db/formats.py recommended_shards)")
     return p
 
 
@@ -450,10 +453,20 @@ def _cmd_build(args):
         else:
             table = lca_map(paths, tree, args.seq2tax, sp, canon, scheme)
     db = Database(table=table, k=k, w=w, gaps=gaps, canonicalize=canon, scheme=scheme)
-    if args.shards:
+    n_shards = (
+        0 if args.shards in ("0", 0)
+        else args.shards if isinstance(args.shards, int)
+        else None if args.shards == "auto" else int(args.shards)
+    )
+    if n_shards is None:
+        from .db.formats import recommended_shards
+
+        n_shards = recommended_shards(table.n)
+        print(f"--shards auto -> {n_shards}", file=sys.stderr)
+    if n_shards:
         from .db.formats import save_database_sharded
 
-        save_database_sharded(db, args.out_path, args.shards,
+        save_database_sharded(db, args.out_path, n_shards,
                               compress="gz" if args.gzip else None)
     elif args.bonsai_format:
         write_bonsai_database(db, args.out_path, compress=args.gzip)

@@ -1,0 +1,122 @@
+"""Scale-tier tests (slow): the table/classify machinery at 3x-10x the
+ordinary test DB sizes, plus the shard-placement policy.
+
+The full 110M-kmer corpus exercise (build + pod classify + the real-chip
+gather-cliff sweep) lives in tools/scale_bench.py with measured results
+in PERF.md; this tier keeps a CI-checkable slice of the same properties.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from bonsai_tpu.db.formats import (
+    Database,
+    recommended_shards,
+    save_database_sharded,
+    table_slot_bytes,
+)
+from bonsai_tpu.db.table import KmerTable, shard_owner
+from bonsai_tpu.taxonomy.tree import TaxTree
+
+
+def test_recommended_shards_policy():
+    """Policy: smallest shard count with per-rank slots <= the measured
+    128 MB flat-gather budget (PERF.md round-4 cliff table)."""
+    # 10M keys -> 2^22 buckets -> slot bytes exactly 128 MiB == budget
+    assert table_slot_bytes(10_000_000) == 128 << 20
+    assert recommended_shards(10_000_000) == 1
+    assert recommended_shards(8_000_000) == 1
+    assert recommended_shards(40_000_000) == 4
+    assert recommended_shards(110_000_000) == 8
+    assert recommended_shards(1_000_000_000) == 128
+    # monotone, never absurd
+    last = 0
+    for n in (1, 10**6, 10**7, 10**8, 10**9):
+        s = recommended_shards(n)
+        assert s >= last
+        last = s
+        assert table_slot_bytes(-(-n // s)) <= 128 << 20 or s == 65536
+
+
+@pytest.mark.slow
+def test_table_at_32m_keys_probe_exact():
+    """Quotient-cuckoo table at 32M keys (3x the ordinary test DBs, 537MB
+    slot array geometry class): build converges, probes are exact for
+    hits and misses, and the hash-prefix shard split covers the keys."""
+    rng = np.random.default_rng(0)
+    n = 32_000_000
+    keys = np.unique(rng.integers(0, 1 << 62, size=int(n * 1.02),
+                                  dtype=np.uint64))[:n]
+    vals = rng.integers(1, 1000, size=n).astype(np.uint32)
+    t = KmerTable(keys, vals)
+    assert t.n == n
+    pick = rng.integers(0, n, size=200_000)
+    v, f = t.probe_np(keys[pick])
+    assert bool(f.all())
+    np.testing.assert_array_equal(v, vals[pick])
+    misses = rng.integers(0, 1 << 62, size=200_000, dtype=np.uint64)
+    _, fm = t.probe_np(misses)
+    # random u64s collide with 32M keys at ~32M/2^62 per probe
+    assert int(fm.sum()) <= 5
+    own = shard_owner(keys, 4)
+    counts = np.bincount(own, minlength=4)
+    assert counts.sum() == n
+    assert counts.max() / counts.min() < 1.01  # near-uniform split
+
+
+@pytest.mark.slow
+def test_sharded_dir_roundtrip_at_scale(tmp_path):
+    """save --shards / per-rank lazy load / classify agreement at a DB
+    ~3x the ordinary test scale, through the real virtual-mesh path."""
+    import io
+
+    import bonsai_tpu.io.fastx as fastx
+    from bonsai_tpu.classify import output as out_mod
+    from bonsai_tpu.classify.pipeline import Classifier
+    from bonsai_tpu.core import bitops, encode as enc_mod
+    from bonsai_tpu.core.alphabet import DNA4
+    from bonsai_tpu.parallel.mesh import make_mesh
+    from bonsai_tpu.parallel.sharded import ShardedClassifier
+
+    rng = np.random.default_rng(1)
+    K = 31
+    # one synthetic 8-Mb genome -> ~8M distinct canonical kmers, plus
+    # random keys to reach ~24M
+    bases = np.array(list(b"ACGT"), dtype=np.uint8)
+    contig = bases[rng.integers(0, 4, 8_000_000)].tobytes()
+    codes = DNA4.lut[np.frombuffer(contig, np.uint8)][None]
+    km, inv = enc_mod.pack_kmers(codes, K)
+    gk = np.unique(bitops.canonical(km[~inv], K))
+    extra = rng.integers(0, 1 << 62, size=16_000_000, dtype=np.uint64)
+    keys = np.unique(np.concatenate([gk, bitops.canonical(extra, K)]))
+    vals = np.full(keys.size, 11, dtype=np.uint32)
+    vals[rng.random(keys.size) < 0.3] = 12
+    tree = TaxTree({1: 0, 2: 1, 11: 2, 12: 2})
+    db = Database(table=KmerTable(keys, vals), k=K, w=K, gaps=[0] * (K - 1))
+    d = str(tmp_path / "scale_shards")
+    ndb = recommended_shards(keys.size)
+    assert ndb >= 2
+    save_database_sharded(db, d, ndb=min(ndb, 4))
+
+    reads = []
+    for i in range(64):
+        s = int(rng.integers(0, len(contig) - 101))
+        reads.append(contig[s : s + 101])
+    rcodes = np.stack(
+        [DNA4.lut[np.frombuffer(r, np.uint8)] for r in reads]
+    ).astype(np.int8)
+    batch = fastx.ReadBatch(
+        names=[f"r{i}".encode() for i in range(64)], seqs=reads,
+        codes=rcodes, lengths=np.full(64, 101, np.int32),
+        quals=[None] * 64,
+    )
+    single = Classifier(db, tree)
+    ref = out_mod.format_batch(
+        single.classify_batch(batch, full=True), K, emit_all=True
+    )
+    mesh = make_mesh({"dp": 2, "db": min(ndb, 4)})
+    sc = ShardedClassifier.from_sharded_dir(d, tree, mesh)
+    res = sc._finish_batch(batch, sc._dispatch_batch(batch))
+    assert out_mod.format_batch(res, K, emit_all=True) == ref
