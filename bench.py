@@ -314,7 +314,7 @@ def sustained_stream(db, tree, passes: int):
         REPO, "tests", "data", "kraken_benchmarks", "HiSeq_accuracy.fa"
     )
     batch = int(os.environ.get("BENCH_CLI_BATCH", 8192))
-    clf = Classifier(db, tree)
+    clf = Classifier(db, tree, emit_all=True)  # one line per read
     sink = io.StringIO()
     clf.process_dataset(reads, sink, batch_size=batch)  # compile
     n_per_pass = sink.getvalue().count("\n")

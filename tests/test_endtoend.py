@@ -551,3 +551,38 @@ def test_resolve_dedup_matches_dense():
             resolve_batch(jnp.asarray(v), jnp.asarray(m), tax, n_distinct=n)
         )
         np.testing.assert_array_equal(dense, dedup)
+
+
+@pytest.mark.slow
+def test_sustained_stream_bounded_memory(db, tree, tmp_path):
+    """A long single-stream run (60k reads here; bench.py runs 1M on the
+    chip) must hold steady-state memory: the pipeline queues are bounded
+    (depth 4), so RSS growth between the 1st and 5th pass over the same
+    reads should be ~0 (no per-batch accumulation)."""
+    import io
+    import resource
+
+    rng = np.random.default_rng(41)
+    reads = simulate_reads(rng, 2000, readlen=101)
+    fa = tmp_path / "stream.fa"
+    with open(fa, "w") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f">s{i}\n{r.decode()}\n")
+    blob = open(fa).read()
+    big = tmp_path / "big.fa"
+    with open(big, "w") as fh:
+        for _ in range(30):
+            fh.write(blob)
+    clf = Classifier(db, tree)
+    sink = io.StringIO()
+    clf.process_dataset(str(fa), sink, batch_size=1024)  # compile
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    out = io.StringIO()
+    clf.process_dataset(str(big), out, batch_size=1024)
+    n_lines = out.getvalue().count("\n")
+    del out
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert n_lines >= 30 * sum(1 for t in clf.classify_reads(reads) if t)
+    # high-water growth during the 60k-read stream stays under 600 MB
+    # (the stream itself is ~6 MB; queues hold <= 4 batches)
+    assert rss1 - rss0 < 600_000, (rss0, rss1)
