@@ -116,6 +116,15 @@ def main(argv=None):
     p.add_argument("db")
     p.add_argument("out", nargs="?", default=None)
 
+    p = sub.add_parser(
+        "merge-parts",
+        help="reassemble per-rank output files from a multi-host "
+             "`classify --distributed -o DIR` run into the exact "
+             "single-process stream",
+    )
+    p.add_argument("parts_dir")
+    p.add_argument("-o", "--out", default=None, help="default: stdout")
+
     p = sub.add_parser("lca", help="LCA of taxids")
     p.add_argument("tax_path")
     p.add_argument("taxids", nargs="+", type=int)
@@ -362,6 +371,26 @@ def _cmd_classify(args):
                                     emit_all=args.emit_all,
                                     emit_kraken=args.kraken,
                                     emit_fastq=args.fastq)
+        import jax
+
+        if jax.process_count() > 1:
+            # multi-host run: per-rank output files (no host gather);
+            # -o names the parts DIRECTORY.  Reassemble the exact
+            # single-process stream with `bonsai_tpu merge-parts DIR`.
+            if not args.out:
+                print("--distributed multi-host classify needs -o DIR",
+                      file=sys.stderr)
+                return 2
+            n = clf.process_dataset_distributed(
+                args.reads, args.out, mate_path=args.mate,
+                batch_size=args.chunk_size,
+            )
+            print(
+                f"[proc {jax.process_index()}] wrote {n} rows to "
+                f"{args.out}/part-{jax.process_index():05d}.tsv",
+                file=sys.stderr,
+            )
+            return 0
         out = open(args.out, "w") if args.out else sys.stdout
         try:
             clf.process_dataset(args.reads, out, mate_path=args.mate,
@@ -503,6 +532,19 @@ def _cmd_prebuild(args):
     db = Database(table=table, k=k, w=k, gaps=gaps, canonicalize=canon, scheme=scheme)
     save_database(db, args.out_path)
     print(f"wrote {len(table)} kmers to {args.out_path}", file=sys.stderr)
+    return 0
+
+
+def _cmd_merge_parts(args):
+    from .parallel.sharded import merge_distributed_output
+
+    out = open(args.out, "w") if args.out else sys.stdout
+    try:
+        n = merge_distributed_output(args.parts_dir, out)
+    finally:
+        if args.out:
+            out.close()
+    print(f"merged {n} bytes from {args.parts_dir}", file=sys.stderr)
     return 0
 
 
