@@ -109,6 +109,17 @@ def unpack_2bit(pcodes, nmask=None):
     return jnp.where(nm, jnp.int8(-1), c)
 
 
+def dict_layout(dict_size: int, W: int):
+    """(vb, lb, head_words) of the dictionary compact layout — the ONE
+    definition shared by the device packer (build_step_outputs) and the
+    host decoder (_finish_arrays); drift between the two would silently
+    corrupt every decoded field."""
+    vb = 4 if dict_size <= 16 else (8 if dict_size <= 256 else 16)
+    lb = 8 if W <= 255 else 16
+    head_words = 2 if W <= 255 else 3
+    return vb, lb, head_words
+
+
 def build_step_outputs(taxon, taxa, hit, valid, valid1, maxr,
                        dict_size: Optional[int] = None):
     """Device-side (compact, full) output matrices from per-position
@@ -216,10 +227,10 @@ def build_step_outputs(taxon, taxa, hit, valid, valid1, maxr,
         u16 = jnp.uint32(0xFFFF)
         if dict_size is not None:
             # run values are dictionary indices: narrowest viable width
-            vb = 4 if dict_size <= 16 else (8 if dict_size <= 256 else 16)
+            vb, lb, head_words = dict_layout(dict_size, W)
             vals_packed = packbits(run_vals, vb)
-            lens_packed = packbits(run_lens, 8 if W <= 255 else 16)
-            if W <= 255:
+            lens_packed = packbits(run_lens, lb)
+            if head_words == 2:
                 # every head counter fits a byte: 2-word head
                 h1 = (
                     head[:, 1]
@@ -531,11 +542,14 @@ class Classifier:
         n_neg = int((codes < 0).sum())
         n_inread = n_neg - (Bp * Lp - int(lengths.sum()))
         # processing width: the batch's true max read length rounded up to
-        # 8 (a bounded compiled-shape set) — the device step slices the
-        # unpacked codes here, and the upload ships only the covering
-        # 16-code words, instead of both paying the 32-aligned bucket
+        # Lp/16 granularity (>= 8) — the device step slices the unpacked
+        # codes here, and the upload ships only the covering 16-code
+        # words, instead of both paying the 32-aligned bucket.  The
+        # granularity bounds the compiled-shape set to <= 16 lproc values
+        # per length bucket even for variable-length long-read sets
         maxlen = int(batch.lengths.max()) if n else 0
-        lproc = min(Lp, max((maxlen + 7) & ~7, 8))
+        g = max(8, Lp >> 4)
+        lproc = min(Lp, max(-(-maxlen // g) * g, 8))
         w16 = (lproc + 15) // 16
         cap = max(64, Bp // 32)
         nmode = "none"
@@ -648,9 +662,14 @@ class Classifier:
             return out[:, :count]
 
         if W_pad < (1 << 15):
-            # packed layouts (see build_step_outputs)
+            # packed layouts (see build_step_outputs / dict_layout)
             taxon = cm[:, 0]
-            if dict16 and W_pad <= 255:
+            if dict16:
+                vb, lb, head_words = dict_layout(int(uniq.size), W_pad)
+            else:
+                vb = lb = None
+                head_words = 3
+            if dict16 and head_words == 2:
                 h1 = cm[:, 1]
                 n_missing = (h1 & 0xFF).astype(np.int32)
                 n_kmers = ((h1 >> 8) & 0xFF).astype(np.int32)
@@ -664,10 +683,8 @@ class Classifier:
                 n_runs = cm[:, 2] >> 16
                 off = 3
             if dict16:
-                vb = 4 if uniq.size <= 16 else (8 if uniq.size <= 256 else 16)
                 nv = -(-maxr // (32 // vb))
                 rv = unpackbits(cm[:, off : off + nv], vb, maxr)
-                lb = 8 if W_pad <= 255 else 16
                 nl = -(-maxr // (32 // lb))
                 rl = unpackbits(cm[:, off + nv : off + nv + nl], lb, maxr)
             else:

@@ -81,6 +81,7 @@ def resolve_batch(hit_idx, hit_mask, tax, block: int = 1024,
     BIG = jnp.int32(n + 2)
     if (
         n_distinct is not None
+        and n_distinct > 0  # 0 = empty DB: nothing can hit, use dense
         and P > 256
         and min(n_distinct, P) <= P // 2
     ):

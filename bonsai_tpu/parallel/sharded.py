@@ -936,6 +936,11 @@ class ShardedClassifier:
                     compact_dev.addressable_shards,
                     key=lambda s: s.index[0].start or 0,
                 ):
+                    # psum-route outputs are replicated over 'db': only
+                    # replica 0 (a GLOBAL id) writes a row block, so the
+                    # same rows can never land in two processes' parts
+                    if shard.replica_id != 0:
+                        continue
                     rsl = shard.index[0]
                     r0 = rsl.start or 0
                     r1 = min(rsl.stop if rsl.stop is not None else R, R)
@@ -966,7 +971,9 @@ class ShardedClassifier:
                     n_rows_written += r1 - r0
                 idx.append(pieces)
         with open(part + ".idx", "w") as fh:
-            _json.dump(dict(pid=pid, batches=idx), fh)
+            _json.dump(
+                dict(pid=pid, nproc=jax.process_count(), batches=idx), fh
+            )
         return n_rows_written
 
     def _slice_batch(self, batch, r0: int, r1: int, paired: bool):
@@ -995,10 +1002,30 @@ def merge_distributed_output(out_dir: str, out_fh) -> int:
     parts = sorted(glob.glob(os.path.join(out_dir, "part-*.tsv")))
     idxs = []
     fhs = []
+    pids = []
+    nprocs = set()
     for p in parts:
         with open(p + ".idx") as fh:
-            idxs.append(_json.load(fh)["batches"])
+            meta = _json.load(fh)
+        idxs.append(meta["batches"])
+        pids.append(meta.get("pid"))
+        nprocs.add(meta.get("nproc"))
         fhs.append(open(p, "rb"))
+    # reject stale part files from an earlier run with a different rank
+    # count (the writer only rewrites its own rank's file)
+    if parts:
+        ok = len(nprocs) == 1
+        want_n = nprocs.pop() if ok else None
+        if not ok or (want_n is not None
+                      and sorted(pids) != list(range(want_n))):
+            for fh in fhs:
+                fh.close()
+            raise ValueError(
+                f"{out_dir}: part files for ranks {sorted(pids)} do not "
+                f"form one complete run (expected ranks 0..{want_n}) — "
+                f"stale files from a previous run? remove the directory "
+                f"and re-run"
+            )
     try:
         n_batches = max((len(i) for i in idxs), default=0)
         total = 0
