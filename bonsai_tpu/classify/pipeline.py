@@ -530,17 +530,6 @@ class Classifier:
             Bp = ((Bp + mult - 1) // mult) * mult
         L = batch.codes.shape[1]
         Lp = (L + 31) & ~31
-        codes, lengths = batch.codes, batch.lengths
-        if Bp != n or Lp != L:
-            codes = np.full((Bp, Lp), -1, dtype=np.int8)
-            codes[:n, :L] = batch.codes
-            lengths = np.zeros(Bp, dtype=np.int32)
-            lengths[:n] = batch.lengths
-        # -1 codes are either in-read Ns or tail padding; padding totals
-        # Bp*Lp - sum(lengths), so any excess negative count means a real
-        # ambiguous base and the batch needs an ambiguity channel
-        n_neg = int((codes < 0).sum())
-        n_inread = n_neg - (Bp * Lp - int(lengths.sum()))
         # processing width: the batch's true max read length rounded up to
         # Lp/16 granularity (>= 8) — the device step slices the unpacked
         # codes here, and the upload ships only the covering 16-code
@@ -552,24 +541,39 @@ class Classifier:
         lproc = min(Lp, max(-(-maxlen // g) * g, 8))
         w16 = (lproc + 15) // 16
         cap = max(64, Bp // 32)
-        nmode = "none"
-        naux = None
-        if n_inread > 0:
-            if self._sparse_n_ok() and n_inread <= cap:
-                # rare Ns: ship flat positions, scatter -1 on device
+        got = self._pack_batch_native(batch, n, Bp, L, lproc, w16, cap)
+        if got is not None:
+            pcodes, nmask, nidx, n_inread, lengths = got
+        else:
+            codes, lengths = batch.codes, batch.lengths
+            if Bp != n or Lp != L:
+                codes = np.full((Bp, Lp), -1, dtype=np.int8)
+                codes[:n, :L] = batch.codes
+                lengths = np.zeros(Bp, dtype=np.int32)
+                lengths[:n] = batch.lengths
+            # -1 codes are either in-read Ns or tail padding; padding
+            # totals Bp*Lp - sum(lengths), so any excess negative count
+            # means a real ambiguous base
+            n_neg = int((codes < 0).sum())
+            n_inread = n_neg - (Bp * Lp - int(lengths.sum()))
+            nidx = None
+            if 0 < n_inread <= cap:
                 inread = (codes < 0) & (
                     np.arange(Lp, dtype=np.int32) < lengths[:, None]
                 )
                 rr, cc = np.nonzero(inread)
-                naux = np.full(cap, 0x7FFFFFFF, dtype=np.uint32)  # dropped
-                naux[: rr.size] = (rr * lproc + cc).astype(np.uint32)
-                nmode = "sparse"
-            else:
-                nmode = "mask"
-        pcodes, nmask = self.pack_codes(codes, with_nmask=nmode == "mask")
-        pcodes = np.ascontiguousarray(pcodes[:, :w16])
-        if nmode == "mask":
-            naux = np.ascontiguousarray(nmask[:, : (w16 + 1) // 2])
+                nidx = np.full(cap, 0x7FFFFFFF, dtype=np.uint32)
+                nidx[: rr.size] = (rr * lproc + cc).astype(np.uint32)
+            pcodes, nmask = self.pack_codes(codes, with_nmask=True)
+            pcodes = np.ascontiguousarray(pcodes[:, :w16])
+            nmask = np.ascontiguousarray(nmask[:, : (w16 + 1) // 2])
+        if n_inread == 0:
+            nmode, naux = "none", None
+        elif self._sparse_n_ok() and n_inread <= cap:
+            # rare Ns: ship flat positions, scatter -1 on device
+            nmode, naux = "sparse", nidx
+        else:
+            nmode, naux = "mask", nmask
         if maxlen <= 0xFFFF:
             lengths = lengths.astype(np.uint16)  # halve the lengths upload
         return (
@@ -579,6 +583,29 @@ class Classifier:
             lproc,
             nmode,
         )
+
+    def _pack_batch_native(self, batch, n, Bp, L, lproc, w16, cap):
+        """One-pass C pad+pack+N-extract (native/src/pack.cpp); None when
+        the native library is unavailable (numpy fallback above)."""
+        from .. import native
+
+        lib = native.get_lib()
+        if lib is None or not hasattr(lib, "btpu_pack_batch"):
+            return None
+        codes = np.ascontiguousarray(batch.codes, dtype=np.int8)
+        lens_in = np.ascontiguousarray(batch.lengths, dtype=np.int32)
+        nmw = (w16 + 1) // 2
+        pcodes = np.empty((Bp, w16), dtype=np.uint32)
+        nmask = np.empty((Bp, nmw), dtype=np.uint32)
+        nidx = np.empty(cap, dtype=np.uint32)
+        n_inread = lib.btpu_pack_batch(
+            codes.ctypes.data, n, L, lens_in.ctypes.data, Bp, w16, lproc,
+            pcodes.ctypes.data, nmask.ctypes.data, nmw,
+            nidx.ctypes.data, cap,
+        )
+        lengths = np.zeros(Bp, dtype=np.int32)
+        lengths[:n] = lens_in
+        return pcodes, nmask, nidx, int(n_inread), lengths
 
     def _sparse_n_ok(self) -> bool:
         """Sparse-N scatter uses batch-global flat indices, valid only

@@ -40,10 +40,14 @@ def _build() -> bool:
     srcs = [
         os.path.join(_SRC, f) for f in sorted(os.listdir(_SRC)) if f.endswith(".cpp")
     ]
+    # build to a per-pid temp and rename: concurrent processes (e.g. a
+    # test run next to a CLI run, both seeing a fresh source mtime) must
+    # never dlopen a half-written .so
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
         "-pthread",
-        *srcs, "-o", _LIB, "-lz",
+        *srcs, "-o", tmp, "-lz",
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
@@ -52,6 +56,7 @@ def _build() -> bool:
     if proc.returncode != 0:
         sys.stderr.write(f"bonsai_tpu.native: build failed:\n{proc.stderr}\n")
         return False
+    os.replace(tmp, _LIB)
     return True
 
 
@@ -147,6 +152,21 @@ def _declare(lib):
         c.c_int64,   # cap
     ]
 
+    lib.btpu_pack_batch.restype = c.c_int64
+    lib.btpu_pack_batch.argtypes = [
+        c.c_void_p,  # codes (n, L) int8
+        c.c_int64,   # n
+        c.c_int64,   # L
+        c.c_void_p,  # lengths (n,) int32
+        c.c_int64,   # Bp
+        c.c_int64,   # w16
+        c.c_int64,   # lproc
+        c.c_void_p,  # pcodes (Bp, w16) u32
+        c.c_void_p,  # nmask (Bp, nmw) u32
+        c.c_int64,   # nmw
+        c.c_void_p,  # nidx (cap,) u32
+        c.c_int64,   # cap
+    ]
     lib.btpu_radix_sort_u64.restype = c.c_int32
     lib.btpu_radix_sort_u64.argtypes = [c.c_void_p, c.c_int64]
     lib.btpu_radix_sort_kv.restype = c.c_int32

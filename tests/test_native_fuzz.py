@@ -155,3 +155,59 @@ def test_radix_sort_adversarial():
         np.testing.assert_array_equal(k, np.sort(a), err_msg=f"case {i}")
         # kv: values must travel with their keys (multiset check)
         np.testing.assert_array_equal(a[v], k, err_msg=f"case {i} perm")
+
+
+def test_pack_batch_native_matches_numpy():
+    """native/src/pack.cpp one-pass pad+pack+N-extract vs the numpy
+    reference packing, across lengths/N-densities/row counts."""
+    import numpy as np
+    import pytest
+
+    from bonsai_tpu import native
+    from bonsai_tpu.classify.pipeline import Classifier
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "btpu_pack_batch"):
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    for trial in range(25):
+        B = int(rng.integers(1, 24))
+        Bp = int(rng.integers(B, B + 9))
+        L = int(rng.integers(2, 14)) * 32
+        lengths = rng.integers(8, L + 1, size=B).astype(np.int32)
+        codes = np.full((B, L), -1, dtype=np.int8)
+        for i in range(B):
+            n_i = int(lengths[i])
+            row = rng.integers(0, 4, n_i).astype(np.int8)
+            nmaskp = rng.random(n_i) < rng.choice([0.0, 0.02, 0.4])
+            row[nmaskp] = -1
+            codes[i, :n_i] = row
+        lproc = min(L, max(int(rng.integers(1, L // 8 + 1)) * 8, 8))
+        lproc = max(lproc, int(lengths.max()))
+        lproc = min(L, (lproc + 7) & ~7)
+        w16 = (lproc + 15) // 16
+        nmw = (w16 + 1) // 2
+        cap = 16
+        pcodes = np.empty((Bp, w16), dtype=np.uint32)
+        nmask = np.empty((Bp, nmw), dtype=np.uint32)
+        nidx = np.empty(cap, dtype=np.uint32)
+        n_inread = lib.btpu_pack_batch(
+            codes.ctypes.data, B, L, lengths.ctypes.data, Bp, w16, lproc,
+            pcodes.ctypes.data, nmask.ctypes.data, nmw,
+            nidx.ctypes.data, cap,
+        )
+        # numpy reference (the pure-python _prepare_batch path)
+        full = np.full((Bp, L), -1, dtype=np.int8)
+        full[:B] = codes
+        p_ref, m_ref = Classifier.pack_codes(full, with_nmask=True)
+        np.testing.assert_array_equal(pcodes, p_ref[:, :w16])
+        np.testing.assert_array_equal(nmask, m_ref[:, :nmw])
+        lens_pad = np.zeros(Bp, dtype=np.int32)
+        lens_pad[:B] = lengths
+        inread = (full < 0) & (np.arange(L) < lens_pad[:, None])
+        rr, cc = np.nonzero(inread)
+        assert n_inread == rr.size
+        want = np.full(cap, 0x7FFFFFFF, dtype=np.uint32)
+        take = min(rr.size, cap)
+        want[:take] = (rr[:take] * lproc + cc[:take]).astype(np.uint32)
+        np.testing.assert_array_equal(nidx, want)
