@@ -821,6 +821,11 @@ class ShardedClassifier:
 
         return Classifier._prepare_batch(self, batch, paired)
 
+    def _pack_batch_native(self, *args, **kwargs):
+        from ..classify.pipeline import Classifier
+
+        return Classifier._pack_batch_native(self, *args, **kwargs)
+
     def _dispatch_prepared(self, prep, paired: bool = False):
         """Device half of the shared host pipeline: run the compact
         (RLE + full) sharded step and start the device->host copy — the
