@@ -660,6 +660,21 @@ class ShardedClassifier:
         shard_db = NamedSharding(mesh, P("db"))
         repl = NamedSharding(mesh, P())
         shape = (ndb, nb, SLOTS)
+        # prefetch THIS process's ranks in a small thread pool: the heavy
+        # parts (file read, radix sort, cuckoo walk) release the GIL, so
+        # a dev host addressing many ranks loads them concurrently (on a
+        # real pod each host owns only its own 1-2 ranks)
+        my_ranks = sorted({
+            int(idx[0].start or 0)
+            for idx in shard_db.addressable_devices_indices_map(
+                shape
+            ).values()
+        })
+        if len(my_ranks) > 1:
+            import concurrent.futures as _cf
+
+            with _cf.ThreadPoolExecutor(min(4, len(my_ranks))) as pool:
+                list(pool.map(shard_arrays, my_ranks))
         self._slots = jax.make_array_from_callback(
             shape, shard_db, lambda idx: shard_arrays(idx[0].start)[0][None]
         )
