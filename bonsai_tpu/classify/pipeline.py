@@ -43,7 +43,8 @@ class BatchResult:
       * full: ``taxa`` (R, W) + ``hit_mask`` (R, W) positional matrices;
       * compact: ``run_vals``/``run_lens`` (R, MAXR) device-side
         run-length encoding of the hit-taxa stream (the only thing the
-        Kraken output needs) — ~4x fewer bytes fetched from the device.
+        Kraken output needs) — ~20 B/read fetched in dictionary mode
+        (vs 60 B for plain u32 runs; see build_step_outputs).
     ``hit_taxa(i)`` yields the per-read hit stream in either mode."""
 
     names: List[bytes]
@@ -323,11 +324,13 @@ class Classifier:
     def _make_step(self, paired: bool = False, maxr: Optional[int] = None):
         """Two outputs per batch, both device-resident until fetched:
 
-        * compact (R, 5 + 2*MAXR) uint32 — taxon | n_missing | n_kmers |
-          n_kmers_mate1 | n_runs | run taxids | run lengths.  The Kraken
-          output only needs the RUN-LENGTH-ENCODED hit-taxa stream, so the
-          RLE happens on device and the host fetches ~4x fewer bytes (the
-          host<->device pipe, not the chip, bounds end-to-end throughput).
+        * compact uint32 — taxon | counters | RLE of the hit-taxa stream
+          (layout per build_step_outputs/dict_layout: 2-3 head words +
+          width-adaptive run indices + packed run lengths).  The Kraken
+          output only needs the RUN-LENGTH-ENCODED stream, so the RLE
+          happens on device and the host fetches ~20 B/read (the
+          host<->device pipe, which serializes with compute over the
+          hosted tunnel, bounds end-to-end throughput).
         * full (R, 4 + ceil(W/32) + W) uint32 — the positional
           taxon | counters | hit-bitmask | per-kmer-taxa matrix, fetched
           only for batches where some read has more than MAXR runs (the
