@@ -556,20 +556,27 @@ class Classifier:
                 lengths[:n] = batch.lengths
             # -1 codes are either in-read Ns or tail padding; padding
             # totals Bp*Lp - sum(lengths), so any excess negative count
-            # means a real ambiguous base
+            # means a real ambiguous base.  Build only the channel the
+            # mode decision below will actually ship.
             n_neg = int((codes < 0).sum())
             n_inread = n_neg - (Bp * Lp - int(lengths.sum()))
-            nidx = None
-            if 0 < n_inread <= cap:
+            nidx = nmask = None
+            use_sparse = (
+                0 < n_inread <= cap and self._sparse_n_ok()
+            )
+            if use_sparse:
                 inread = (codes < 0) & (
                     np.arange(Lp, dtype=np.int32) < lengths[:, None]
                 )
                 rr, cc = np.nonzero(inread)
                 nidx = np.full(cap, 0x7FFFFFFF, dtype=np.uint32)
                 nidx[: rr.size] = (rr * lproc + cc).astype(np.uint32)
-            pcodes, nmask = self.pack_codes(codes, with_nmask=True)
+            pcodes, nmask = self.pack_codes(
+                codes, with_nmask=n_inread > 0 and not use_sparse
+            )
             pcodes = np.ascontiguousarray(pcodes[:, :w16])
-            nmask = np.ascontiguousarray(nmask[:, : (w16 + 1) // 2])
+            if nmask is not None:
+                nmask = np.ascontiguousarray(nmask[:, : (w16 + 1) // 2])
         if n_inread == 0:
             nmode, naux = "none", None
         elif self._sparse_n_ok() and n_inread <= cap:

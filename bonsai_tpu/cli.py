@@ -381,13 +381,19 @@ def _cmd_classify(args):
                 print("--distributed multi-host classify needs -o DIR",
                       file=sys.stderr)
                 return 2
+            if args.profile:
+                print("--profile is not supported with multi-host "
+                      "--distributed classify (per-rank pipeline)",
+                      file=sys.stderr)
             n = clf.process_dataset_distributed(
                 args.reads, args.out, mate_path=args.mate,
                 batch_size=args.chunk_size,
             )
             print(
                 f"[proc {jax.process_index()}] wrote {n} rows to "
-                f"{args.out}/part-{jax.process_index():05d}.tsv",
+                f"{args.out}/part-{jax.process_index():05d}.tsv "
+                f"(classified: {clf.n_classified}  "
+                f"unclassified: {clf.n_unclassified})",
                 file=sys.stderr,
             )
             return 0
@@ -538,7 +544,7 @@ def _cmd_prebuild(args):
 def _cmd_merge_parts(args):
     from .parallel.sharded import merge_distributed_output
 
-    out = open(args.out, "w") if args.out else sys.stdout
+    out = open(args.out, "w", encoding="utf-8") if args.out else sys.stdout
     try:
         n = merge_distributed_output(args.parts_dir, out)
     finally:

@@ -51,13 +51,21 @@ def _build() -> bool:
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if proc.returncode != 0:
+            sys.stderr.write(
+                f"bonsai_tpu.native: build failed:\n{proc.stderr}\n"
+            )
+            return False
+        os.replace(tmp, _LIB)
+        return True
     except (OSError, subprocess.TimeoutExpired):
         return False
-    if proc.returncode != 0:
-        sys.stderr.write(f"bonsai_tpu.native: build failed:\n{proc.stderr}\n")
-        return False
-    os.replace(tmp, _LIB)
-    return True
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
 
 def get_lib():

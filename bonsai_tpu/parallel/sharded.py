@@ -942,7 +942,7 @@ class ShardedClassifier:
         if is_paired and batch_size % 2:
             batch_size += 1
         n_rows_written = 0
-        with open(part, "w") as fh:
+        with open(part, "w", encoding="utf-8") as fh:
             for batch in fastx.batch_reads(
                 path, self.lut, batch_size=batch_size, mate_path=mate_path
             ):
@@ -1036,15 +1036,16 @@ def merge_distributed_output(out_dir: str, out_fh) -> int:
     if parts:
         ok = len(nprocs) == 1
         want_n = nprocs.pop() if ok else None
+        known = sorted(p for p in pids if p is not None)
         if not ok or (want_n is not None
-                      and sorted(pids) != list(range(want_n))):
+                      and (len(known) != len(pids)
+                           or known != list(range(want_n)))):
             for fh in fhs:
                 fh.close()
             raise ValueError(
-                f"{out_dir}: part files for ranks {sorted(pids)} do not "
-                f"form one complete run (expected ranks 0..{want_n}) — "
-                f"stale files from a previous run? remove the directory "
-                f"and re-run"
+                f"{out_dir}: part files for ranks {pids} do not form one "
+                f"complete run (expected ranks 0..{want_n}) — stale files "
+                f"from a previous run? remove the directory and re-run"
             )
     try:
         n_batches = max((len(i) for i in idxs), default=0)

@@ -568,7 +568,8 @@ def test_sustained_stream_bounded_memory(db, tree, tmp_path):
     with open(fa, "w") as fh:
         for i, r in enumerate(reads):
             fh.write(f">s{i}\n{r.decode()}\n")
-    blob = open(fa).read()
+    with open(fa) as fh:
+        blob = fh.read()
     big = tmp_path / "big.fa"
     with open(big, "w") as fh:
         for _ in range(30):
@@ -584,5 +585,9 @@ def test_sustained_stream_bounded_memory(db, tree, tmp_path):
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     assert n_lines >= 30 * sum(1 for t in clf.classify_reads(reads) if t)
     # high-water growth during the 60k-read stream stays under 600 MB
-    # (the stream itself is ~6 MB; queues hold <= 4 batches)
-    assert rss1 - rss0 < 600_000, (rss0, rss1)
+    # (the stream itself is ~6 MB; queues hold <= 4 batches).  ru_maxrss
+    # is KB on Linux, bytes on macOS.
+    import sys as _sys
+
+    unit = 1 if _sys.platform.startswith("linux") else 1024
+    assert rss1 - rss0 < 600_000 * unit, (rss0, rss1)
