@@ -319,13 +319,31 @@ class ShardedClassifier:
                 take = p_sorted & (rank < cap)
                 slot = jnp.where(take, sowner * cap + rank, DUMP)
                 safe_sidx = jnp.minimum(sidx, Q - 1)
-                send = (
-                    jnp.zeros((DUMP,), jnp.uint64)
-                    .at[slot]
-                    .set(
-                        jnp.where(take, kq[safe_sidx], jnp.uint64(0)),
-                        mode="drop",
-                    )
+                # build `send` by GATHER, not scatter (TPU scatter is
+                # ~100 ns/elem vs ~10 ns gathers — PERF.md round-4 a2a
+                # routing stamp): valid sorted entries form a prefix
+                # (SENT sorts last), so owner o's run starts at
+                # seg_start[o] and its r-th element sits at
+                # seg_start[o] + r with rank exactly r
+                counts = jnp.sum(
+                    (sowner[:, None] == jnp.arange(ndb, dtype=jnp.int32))
+                    & p_sorted[:, None],
+                    axis=0,
+                    dtype=jnp.int32,
+                )
+                seg_start = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+                )
+                jdump = jnp.arange(DUMP, dtype=jnp.int32)
+                o_j = jdump // cap
+                r_j = jdump % cap
+                src = seg_start[o_j] + r_j
+                valid_j = r_j < counts[o_j]
+                sorted_kq = kq[safe_sidx]
+                send = jnp.where(
+                    valid_j,
+                    sorted_kq[jnp.minimum(src, Q - 1)],
+                    jnp.uint64(0),
                 )
                 # where did query i go?  (DUMP = nowhere this round)
                 slotq = (
