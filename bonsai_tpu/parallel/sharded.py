@@ -322,23 +322,20 @@ class ShardedClassifier:
                 # build `send` by GATHER, not scatter (TPU scatter is
                 # ~100 ns/elem vs ~10 ns gathers — PERF.md round-4 a2a
                 # routing stamp): valid sorted entries form a prefix
-                # (SENT sorts last), so owner o's run starts at
-                # seg_start[o] and its r-th element sits at
-                # seg_start[o] + r with rank exactly r
-                counts = jnp.sum(
-                    (sowner[:, None] == jnp.arange(ndb, dtype=jnp.int32))
-                    & p_sorted[:, None],
-                    axis=0,
-                    dtype=jnp.int32,
-                )
-                seg_start = jnp.concatenate(
-                    [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
-                )
+                # (SENT sorts last) ordered by owner, so owner o's run
+                # spans [seg_start[o], seg_start[o+1]) and its r-th
+                # element has rank exactly r.  seg boundaries come from
+                # ndb+1 binary searches into the sorted owner column
+                # (sowner_u is monotone; SENT rows read 0xFFFFFFFF).
+                sowner_u = (skey >> jnp.uint64(32)).astype(jnp.uint32)
+                seg = jnp.searchsorted(
+                    sowner_u, jnp.arange(ndb + 1, dtype=jnp.uint32)
+                ).astype(jnp.int32)
                 jdump = jnp.arange(DUMP, dtype=jnp.int32)
                 o_j = jdump // cap
                 r_j = jdump % cap
-                src = seg_start[o_j] + r_j
-                valid_j = r_j < counts[o_j]
+                src = seg[o_j] + r_j
+                valid_j = src < seg[o_j + 1]
                 sorted_kq = kq[safe_sidx]
                 send = jnp.where(
                     valid_j,
