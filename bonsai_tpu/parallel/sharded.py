@@ -309,28 +309,26 @@ class ShardedClassifier:
                 p_sorted = skey != SENT
                 sowner = (skey >> jnp.uint64(32)).astype(jnp.int32)
                 sidx = (skey & U32).astype(jnp.int32)
-                first = jnp.concatenate(
-                    [jnp.ones((1,), bool), sowner[1:] != sowner[:-1]]
-                )
-                run_start = jax.lax.associative_scan(
-                    jnp.maximum, jnp.where(first, pos, 0)
-                )
-                rank = pos - run_start
+                # owner o's run spans [seg[o], seg[o+1]) in the sorted
+                # array (SENT sorts last, so valid entries form a
+                # prefix ordered by owner); seg boundaries come from
+                # ndb+1 binary searches into the monotone sorted owner
+                # column (SENT rows read 0xFFFFFFFF).  Within-owner
+                # rank is then pos - seg[owner] directly — no scan.
+                sowner_u = (skey >> jnp.uint64(32)).astype(jnp.uint32)
+                seg = jnp.searchsorted(
+                    sowner_u, jnp.arange(ndb + 1, dtype=jnp.uint32)
+                ).astype(jnp.int32)
+                # SENT rows map to seg[ndb-1]; harmless, p_sorted masks
+                rank = pos - seg[jnp.minimum(sowner_u.astype(jnp.int32),
+                                             ndb - 1)]
                 take = p_sorted & (rank < cap)
                 slot = jnp.where(take, sowner * cap + rank, DUMP)
                 safe_sidx = jnp.minimum(sidx, Q - 1)
                 # build `send` by GATHER, not scatter (TPU scatter is
                 # ~100 ns/elem vs ~10 ns gathers — PERF.md round-4 a2a
-                # routing stamp): valid sorted entries form a prefix
-                # (SENT sorts last) ordered by owner, so owner o's run
-                # spans [seg_start[o], seg_start[o+1]) and its r-th
-                # element has rank exactly r.  seg boundaries come from
-                # ndb+1 binary searches into the sorted owner column
-                # (sowner_u is monotone; SENT rows read 0xFFFFFFFF).
-                sowner_u = (skey >> jnp.uint64(32)).astype(jnp.uint32)
-                seg = jnp.searchsorted(
-                    sowner_u, jnp.arange(ndb + 1, dtype=jnp.uint32)
-                ).astype(jnp.int32)
+                # routing stamp): owner o's r-th element sits at
+                # seg[o] + r with within-owner rank exactly r.
                 jdump = jnp.arange(DUMP, dtype=jnp.int32)
                 o_j = jdump // cap
                 r_j = jdump % cap
