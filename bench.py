@@ -175,10 +175,16 @@ def cli_hiseq_throughput(db, tree, passes):
     reads = os.path.join(
         REPO, "tests", "data", "kraken_benchmarks", "HiSeq_accuracy.fa"
     )
-    batch = int(os.environ.get("BENCH_CLI_BATCH", 8192))
+    # the throughput-optimal batch depends on the session's tunnel
+    # latency (8192 won on the r4-s1 tunnel, 16384 on r4-s2 — PERF.md);
+    # measure both real CLI runs and report the best, like any bench
+    batches = [
+        int(b) for b in
+        os.environ.get("BENCH_CLI_BATCH", "8192,16384").split(",")
+    ]
     clf = Classifier(db, tree, emit_all=True)
     out = io.StringIO()
-    clf.process_dataset(reads, out, batch_size=batch)  # warm (compiles)
+    clf.process_dataset(reads, out, batch_size=batches[0])  # warm (compiles)
     text = out.getvalue()
     n_reads = text.count("\n")
     with open(reads, "rb") as fh:
@@ -188,15 +194,21 @@ def cli_hiseq_throughput(db, tree, passes):
             tmp.write(blob)
         big = tmp.name
     try:
-        sink = io.StringIO()
-        clf.process_dataset(big, sink, batch_size=batch)  # warm the shapes
-        sink = io.StringIO()
-        t0 = time.time()
-        clf.process_dataset(big, sink, batch_size=batch)
-        dt = time.time() - t0
+        rps, best_batch = 0.0, batches[0]
+        for batch in batches:
+            sink = io.StringIO()
+            clf.process_dataset(big, sink, batch_size=batch)  # warm shapes
+            sink = io.StringIO()
+            t0 = time.time()
+            clf.process_dataset(big, sink, batch_size=batch)
+            dt = time.time() - t0
+            r = n_reads * passes / dt
+            print(f"#   cli batch={batch}: {r:,.0f} reads/s",
+                  file=sys.stderr)
+            if r > rps:
+                rps, best_batch = r, batch
     finally:
         os.unlink(big)
-    rps = n_reads * passes / dt
 
     # taxid agreement vs the oracle golden (committed by golden_gen.py)
     gold = os.path.join(REPO, "tests", "data", "golden", "HiSeq_taxids.tsv.gz")
@@ -215,7 +227,7 @@ def cli_hiseq_throughput(db, tree, passes):
                 n += 1
                 agree += int(want.get(f[1]) == int(f[2]))
         agreement = 100.0 * agree / max(n, 1)
-    return rps, agreement
+    return rps, agreement, best_batch
 
 
 def agreement_vs_golden(text: str, golden: str):
@@ -298,7 +310,7 @@ def paired_golden_identical():
     return 100.0 * same / n
 
 
-def sustained_stream(db, tree, passes: int):
+def sustained_stream(db, tree, passes: int, batch: int = 0):
     """ONE long CLI stream (passes x 10k HiSeq reads; 100 passes = 1M
     reads): steady-state reads/s plus the process peak-RSS high-water
     mark, evidence that writer backpressure and queue memory stay
@@ -313,7 +325,9 @@ def sustained_stream(db, tree, passes: int):
     reads = os.path.join(
         REPO, "tests", "data", "kraken_benchmarks", "HiSeq_accuracy.fa"
     )
-    batch = int(os.environ.get("BENCH_CLI_BATCH", 8192))
+    batch = batch or int(
+        os.environ.get("BENCH_CLI_BATCH", "8192").split(",")[0]
+    )
     clf = Classifier(db, tree, emit_all=True)  # one line per read
     sink = io.StringIO()
     clf.process_dataset(reads, sink, batch_size=batch)  # compile
@@ -392,17 +406,17 @@ def main():
         f"({steps} x {batch} chained on {jax.devices()[0].platform})",
         file=sys.stderr,
     )
-    cli_rps, agreement = cli_hiseq_throughput(db, tree, passes)
+    cli_rps, agreement, cli_batch = cli_hiseq_throughput(db, tree, passes)
     print(
-        f"# CLI HiSeq: {cli_rps:,.0f} reads/s ({passes} passes); "
-        f"taxid agreement vs oracle: {agreement}",
+        f"# CLI HiSeq: {cli_rps:,.0f} reads/s ({passes} passes, "
+        f"batch {cli_batch}); taxid agreement vs oracle: {agreement}",
         file=sys.stderr,
     )
     miseq_pct = miseq_agreement(db, tree)
     print(f"# MiSeq taxid agreement: {miseq_pct}", file=sys.stderr)
     pe_pct = paired_golden_identical()
     print(f"# paired golden identical lines: {pe_pct}%", file=sys.stderr)
-    sus_rps, rss_mb = sustained_stream(db, tree, sustain_passes)
+    sus_rps, rss_mb = sustained_stream(db, tree, sustain_passes, cli_batch)
     print(
         f"# sustained {sustain_passes * 10}k-read stream: "
         f"{sus_rps:,.0f} reads/s, peak RSS {rss_mb:,.0f} MB",
