@@ -270,6 +270,7 @@ class Classifier:
         emit_kraken: bool = True,
         emit_fastq: bool = False,
         input_type: InputType = InputType.DNA,
+        trim_table: bool = True,
     ):
         # classify always uses w = k (bin/bonsai.cpp:152)
         self.sp = Spacer(db.k, db.k, db.gaps)
@@ -308,6 +309,11 @@ class Classifier:
         # a read can hit at most this many distinct taxonomy nodes — the
         # static bound the long-read dedup resolve relies on
         self._n_distinct = int(np.unique(compact_vals).size)
+        if trim_table:
+            # the probe runs entirely off the device copies above; free
+            # the host-side layout intermediates (~40% of classify RSS;
+            # they lazily rebuild on any later table use)
+            table.trim()
         self._tax = tree.device_arrays()
         self._step_cache = {}
         # compact-output run capacity: reads with more distinct hit runs
@@ -319,6 +325,80 @@ class Classifier:
         # recompile) so run-rich datasets stop paying the big fetch
         self._overflow_batches = 0
         self._overflow_bump_after = 3
+
+    @classmethod
+    def from_probe_image(
+        cls,
+        image_path: str,
+        tree: TaxTree,
+        emit_all: bool = False,
+        emit_kraken: bool = True,
+        emit_fastq: bool = False,
+        input_type: InputType = InputType.DNA,
+    ):
+        """Construct a classifier straight from a saved probe image
+        (db/formats.py::save_probe_image): the slot words upload to the
+        device directly from the mmap — no cuckoo re-placement, no
+        host-side packing transients, no canonical key/value arrays in
+        memory.  This is the TPU analog of the reference's khash
+        memory-image load (util.h:281-372 + database.h:33-56), and the
+        memory-lean path for long classify streams: resident set is the
+        touched mmap pages + the device upload staging only."""
+        import types
+
+        import jax.numpy as jnp
+
+        from ..db import formats as _formats
+        from ..db.table import probe_slots_device
+
+        img = _formats.load_probe_image(image_path)
+        if img.tree_digest != _formats.tree_digest(tree):
+            raise ValueError(
+                "probe image was built against a different taxonomy "
+                f"(digest {img.tree_digest})"
+            )
+        self = cls.__new__(cls)
+        self.sp = Spacer(img.k, img.k, img.gaps)
+        self.enc = BatchEncoder(
+            self.sp, img.canonicalize, "lex", input_type
+        )
+        # a minimal stand-in for db.table: _make_step only reads
+        # lgnb/vbits and calls probe_device(arrays=...)
+        tbl = types.SimpleNamespace(
+            lgnb=img.lgnb, vbits=img.vbits, n=img.n,
+            probe_device=lambda queries, arrays=None, want_idx=False:
+                probe_slots_device(
+                    queries, arrays[0], arrays[1], arrays[2],
+                    img.lgnb, img.vbits, want_idx,
+                ),
+        )
+        self.db = types.SimpleNamespace(
+            table=tbl, k=img.k, w=img.w, gaps=img.gaps
+        )
+        self.tree = tree
+        self.emit_all = emit_all
+        self.emit_kraken = emit_kraken
+        self.emit_fastq = emit_fastq
+        self.lut = alphabet_of(InputType(input_type)).lut
+        self.n_classified = 0
+        self.n_unclassified = 0
+        self._arrays = (
+            jnp.asarray(img.slots), jnp.asarray(img.vals), img.inline
+        )
+        self._uniq_host = None
+        if img.inline and img.vals.size <= 0xFFFF:
+            self._uniq_host = (
+                np.asarray(img.vals) >> np.uint64(32)
+            ).astype(np.uint32)
+        self._n_distinct = img.n_distinct
+        self._tax = tree.device_arrays()
+        self._step_cache = {}
+        import os as _os
+
+        self.max_runs = int(_os.environ.get("BONSAI_TPU_MAX_RUNS", 8))
+        self._overflow_batches = 0
+        self._overflow_bump_after = 3
+        return self
 
     # -- jitted device step ----------------------------------------------
     def _make_step(self, paired: bool = False, maxr: Optional[int] = None):

@@ -117,6 +117,17 @@ def main(argv=None):
     p.add_argument("out", nargs="?", default=None)
 
     p = sub.add_parser(
+        "probe-image",
+        help="bake a classify-ready memory image for (db, taxonomy): "
+             "later `classify IMAGE_DIR ...` mmaps + uploads it with no "
+             "table rebuild (the khash-memory-image analog, "
+             "util.h:281-372)",
+    )
+    p.add_argument("db")
+    p.add_argument("tax_path")
+    p.add_argument("out_dir")
+
+    p = sub.add_parser(
         "merge-parts",
         help="reassemble per-rank output files from a multi-host "
              "`classify --distributed -o DIR` run into the exact "
@@ -337,6 +348,37 @@ def _cmd_classify(args):
 
     db = None
     if os.path.isdir(args.db):
+        meta_p = os.path.join(args.db, "meta.json")
+        if os.path.exists(meta_p):
+            import json as _json
+
+            with open(meta_p) as fh:
+                is_image = (
+                    _json.load(fh).get("format") == "btpu-probe-image"
+                )
+            if is_image and not args.db_shards:
+                # classify-ready memory image: mmap + upload, no table
+                # rebuild (probe-image subcommand; util.h:281-372)
+                tree = TaxTree.from_nodes_dmp(args.tax_path)
+                clf = Classifier.from_probe_image(
+                    args.db, tree, emit_all=args.emit_all,
+                    emit_kraken=args.kraken, emit_fastq=args.fastq,
+                )
+                out = open(args.out, "w") if args.out else sys.stdout
+                try:
+                    clf.process_dataset(
+                        args.reads, out, mate_path=args.mate,
+                        batch_size=args.chunk_size, profile=args.profile,
+                    )
+                finally:
+                    if args.out:
+                        out.close()
+                print(
+                    f"classified: {clf.n_classified}  "
+                    f"unclassified: {clf.n_unclassified}",
+                    file=sys.stderr,
+                )
+                return 0
         from .db.formats import load_database_sharded
 
         if not args.db_shards:
@@ -538,6 +580,18 @@ def _cmd_prebuild(args):
     db = Database(table=table, k=k, w=k, gaps=gaps, canonicalize=canon, scheme=scheme)
     save_database(db, args.out_path)
     print(f"wrote {len(table)} kmers to {args.out_path}", file=sys.stderr)
+    return 0
+
+
+def _cmd_probe_image(args):
+    from .db.formats import load_database, save_probe_image
+    from .taxonomy.tree import TaxTree
+
+    db = load_database(args.db)
+    tree = TaxTree.from_nodes_dmp(args.tax_path)
+    save_probe_image(args.out_dir, db, tree)
+    print(f"wrote probe image for {db.table.n} kmers to {args.out_dir}",
+          file=sys.stderr)
     return 0
 
 

@@ -132,6 +132,91 @@ def load_database(path: str) -> Database:
     )
 
 
+# -- probe image (classify-ready memory image) --------------------------------
+
+@dataclass
+class ProbeImage:
+    """A classify-ready slot image: exactly what the classifier uploads,
+    memory-mappable from disk.  The TPU analog of the reference's khash
+    memory-image load (util.h:281-372, database.h:33-56): where the
+    reference fread()s the live hash table bytes and probes them as-is,
+    this stores the quotient-cuckoo slot words ALREADY packed with the
+    classifier's payload (orig taxid << 32 | tree-compact idx), so a
+    classify process mmaps + uploads with no cuckoo re-placement and no
+    host-side packing transients."""
+
+    slots: np.ndarray       # (nb, SLOTS) u64, mmap-backed
+    vals: np.ndarray        # inline: (u,) u64 unique packed values;
+                            # else (nb, SLOTS) u64 flat values
+    inline: bool
+    lgnb: int
+    vbits: int
+    n: int
+    n_distinct: int
+    k: int
+    w: int
+    gaps: List[int]
+    canonicalize: bool
+    tree_digest: str
+
+
+def tree_digest(tree) -> str:
+    """Cheap fingerprint of a TaxTree's structure: a probe image packs
+    TREE-COMPACT indices, so it is only valid with the tree it was built
+    against."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(tree.tax_ids).tobytes())
+    h.update(np.ascontiguousarray(tree.parent).tobytes())
+    return h.hexdigest()[:16]
+
+
+def save_probe_image(dirpath: str, db: Database, tree) -> None:
+    """Write a classify-ready probe image directory for (db, tree):
+    slots.npy + vals.npy (mmap-loadable) + meta.json."""
+    import os
+
+    table = db.table
+    compact_vals = tree.compact(table.vals_sorted, missing_ok=True)
+    packed = (
+        table.vals_sorted.astype(np.uint64) << np.uint64(32)
+    ) | compact_vals.astype(np.uint32).astype(np.uint64)
+    slots, vals, inline = table.arrays_np(packed)
+    os.makedirs(dirpath, exist_ok=True)
+    np.save(os.path.join(dirpath, "slots.npy"), slots)
+    np.save(os.path.join(dirpath, "vals.npy"), np.asarray(vals))
+    meta = dict(
+        format="btpu-probe-image", version=1,
+        inline=bool(inline), lgnb=table.lgnb, vbits=table.vbits,
+        n=table.n, n_distinct=int(np.unique(compact_vals).size),
+        k=db.k, w=db.w, gaps=list(map(int, db.gaps)),
+        canonicalize=bool(db.canonicalize),
+        tree_digest=tree_digest(tree),
+    )
+    with open(os.path.join(dirpath, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def load_probe_image(dirpath: str) -> ProbeImage:
+    """mmap a probe image directory (see save_probe_image)."""
+    import os
+
+    with open(os.path.join(dirpath, "meta.json")) as fh:
+        meta = json.load(fh)
+    if meta.get("format") != "btpu-probe-image":
+        raise ValueError(f"{dirpath}: not a probe image directory")
+    slots = np.load(os.path.join(dirpath, "slots.npy"), mmap_mode="r")
+    vals = np.load(os.path.join(dirpath, "vals.npy"), mmap_mode="r")
+    return ProbeImage(
+        slots=slots, vals=vals, inline=meta["inline"], lgnb=meta["lgnb"],
+        vbits=meta["vbits"], n=meta["n"], n_distinct=meta["n_distinct"],
+        k=meta["k"], w=meta["w"], gaps=meta["gaps"],
+        canonicalize=meta["canonicalize"],
+        tree_digest=meta["tree_digest"],
+    )
+
+
 # -- sharded on-disk layout ---------------------------------------------------
 
 # Measured single-chip gather cliff (PERF.md "Measured gather costs" +

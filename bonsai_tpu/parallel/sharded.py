@@ -293,58 +293,62 @@ class ShardedClassifier:
             cap = max(int(np.ceil(Q / ndb * cf)), 1)
             DUMP = ndb * cap
             iota = jnp.arange(Q, dtype=jnp.uint64)
-            pos = jnp.arange(Q, dtype=jnp.int32)
             SENT = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
             def body(state):
                 done, res, _ = state
                 pending = ~done
-                # group pending queries by owner, preserving index order
+                # group pending queries by owner, preserving index order;
+                # kq rides the sort as a second operand so the sorted
+                # queries need no Q-sized gather (round-5 a2a stamp: the
+                # dual-operand sort costs the same as sort+gather minus
+                # the gather)
                 key = jnp.where(
                     pending,
                     (owner.astype(jnp.uint64) << jnp.uint64(32)) | iota,
                     SENT,
                 )
-                skey = jnp.sort(key)
-                p_sorted = skey != SENT
-                sowner = (skey >> jnp.uint64(32)).astype(jnp.int32)
+                skey, skq = jax.lax.sort((key, kq), num_keys=1)
                 sidx = (skey & U32).astype(jnp.int32)
                 # owner o's run spans [seg[o], seg[o+1]) in the sorted
                 # array (SENT sorts last, so valid entries form a
                 # prefix ordered by owner); seg boundaries come from
                 # ndb+1 binary searches into the monotone sorted owner
-                # column (SENT rows read 0xFFFFFFFF).  Within-owner
-                # rank is then pos - seg[owner] directly — no scan.
+                # column (SENT rows read 0xFFFFFFFF)
                 sowner_u = (skey >> jnp.uint64(32)).astype(jnp.uint32)
                 seg = jnp.searchsorted(
                     sowner_u, jnp.arange(ndb + 1, dtype=jnp.uint32)
                 ).astype(jnp.int32)
-                # SENT rows map to seg[ndb-1]; harmless, p_sorted masks
-                rank = pos - seg[jnp.minimum(sowner_u.astype(jnp.int32),
-                                             ndb - 1)]
-                take = p_sorted & (rank < cap)
-                slot = jnp.where(take, sowner * cap + rank, DUMP)
-                safe_sidx = jnp.minimum(sidx, Q - 1)
-                # build `send` by GATHER, not scatter (TPU scatter is
-                # ~100 ns/elem vs ~10 ns gathers — PERF.md round-4 a2a
-                # routing stamp): owner o's r-th element sits at
-                # seg[o] + r with within-owner rank exactly r.
-                jdump = jnp.arange(DUMP, dtype=jnp.int32)
-                o_j = jdump // cap
-                r_j = jdump % cap
-                src = seg[o_j] + r_j
-                valid_j = src < seg[o_j + 1]
-                sorted_kq = kq[safe_sidx]
-                send = jnp.where(
-                    valid_j,
-                    sorted_kq[jnp.minimum(src, Q - 1)],
-                    jnp.uint64(0),
+                # send frame (ndb, cap): owner o's r-th query sits at
+                # sorted position seg[o] + r.  Segment starts/ends enter
+                # by BROADCAST (no per-row gather from seg), and the
+                # send key + originating query index come from ONE
+                # row gather out of a (Q, 2) matrix — the round-5 stamp
+                # measured this formulation at 41 ns/query vs 63 for
+                # the per-array-gather one.  Rows past a segment's end
+                # carry stale keys; their probe responses are never
+                # read (slotq below only maps valid rows).
+                src2 = (
+                    seg[:ndb, None]
+                    + jnp.arange(cap, dtype=jnp.int32)[None, :]
+                ).reshape(DUMP)
+                end2 = jnp.broadcast_to(
+                    seg[1:, None], (ndb, cap)
+                ).reshape(DUMP)
+                valid_j = src2 < end2
+                src_safe = jnp.minimum(src2, Q - 1)
+                both = jnp.stack(
+                    [skq, sidx.astype(jnp.uint64)], axis=1
                 )
+                g = both[src_safe]  # (DUMP, 2): [query key, query idx]
+                send = g[:, 0]
+                qidx_j = g[:, 1].astype(jnp.int32)
                 # where did query i go?  (DUMP = nowhere this round)
+                jdump = jnp.arange(DUMP, dtype=jnp.int32)
                 slotq = (
                     jnp.full((Q,), DUMP, jnp.int32)
-                    .at[jnp.where(take, sidx, Q)]
-                    .set(slot, mode="drop")
+                    .at[jnp.where(valid_j, qidx_j, Q)]
+                    .set(jdump, mode="drop")
                 )
                 recv = jax.lax.all_to_all(send, "db", 0, 0, tiled=True)
                 if dict16:
@@ -369,9 +373,8 @@ class ShardedClassifier:
                         | (val & LOW31)
                     )
                 back = jax.lax.all_to_all(resp, "db", 0, 0, tiled=True)
-                back1 = jnp.concatenate([back, jnp.zeros((1,), jnp.uint64)])
-                got = back1[slotq]
                 newly = slotq < DUMP
+                got = back[jnp.minimum(slotq, DUMP - 1)]
                 res = jnp.where(newly, got, res)
                 done = done | newly
                 # all devices agree on the trip count (overflow rounds are
