@@ -67,6 +67,56 @@ def test_table_at_32m_keys_probe_exact():
 
 
 @pytest.mark.slow
+def test_gather_cliff_boundary_behavioral():
+    """The 128 MB shard policy, exercised as BEHAVIOR at the boundary
+    (VERDICT r4 weak #6): 16M keys build a single table whose slot array
+    is past the measured gather cliff (256 MiB > SHARD_SLOT_BUDGET), the
+    policy says split in 2, and the 2-way hash-prefix split yields
+    per-rank tables back inside the budget that probe EXACTLY the same
+    answers (hits and misses) as the oversized single table."""
+    from bonsai_tpu.db.formats import SHARD_SLOT_BUDGET
+    from bonsai_tpu.db.table import SLOTS, HashShardedTable
+
+    rng = np.random.default_rng(7)
+    n = 16_000_000
+    keys = np.unique(rng.integers(0, 1 << 62, size=int(n * 1.02),
+                                  dtype=np.uint64))[:n]
+    vals = rng.integers(1, 5000, size=n).astype(np.uint32)
+
+    # policy boundary: single-table slots are PAST the budget; the
+    # recommended split is 2; the split halves are INSIDE the budget
+    assert table_slot_bytes(n) > SHARD_SLOT_BUDGET
+    assert recommended_shards(n) == 2
+    assert table_slot_bytes(-(-n // 2)) <= SHARD_SLOT_BUDGET
+
+    single = KmerTable(keys, vals)
+    assert single.nb * SLOTS * 8 > SHARD_SLOT_BUDGET  # past the cliff
+    sharded = HashShardedTable(single, ndb=2)
+    for sub in sharded.shards:
+        assert sub.nb * SLOTS * 8 <= SHARD_SLOT_BUDGET
+
+    pick = rng.integers(0, n, size=100_000)
+    qs = keys[pick]
+    v1, f1 = single.probe_np(qs)
+    assert bool(f1.all())
+    own = shard_owner(qs, 2)
+    for o in (0, 1):
+        sel = own == o
+        v2, f2 = sharded.shards[o].probe_np(qs[sel])
+        assert bool(f2.all())
+        np.testing.assert_array_equal(v2, v1[sel])
+    misses = rng.integers(0, 1 << 62, size=100_000, dtype=np.uint64)
+    _, fm1 = single.probe_np(misses)
+    fm2 = np.zeros(misses.size, bool)
+    own = shard_owner(misses, 2)
+    for o in (0, 1):
+        sel = own == o
+        _, f = sharded.shards[o].probe_np(misses[sel])
+        fm2[sel] = f
+    np.testing.assert_array_equal(fm1, fm2)
+
+
+@pytest.mark.slow
 def test_sharded_dir_roundtrip_at_scale(tmp_path):
     """save --shards / per-rank lazy load / classify agreement at a DB
     ~3x the ordinary test scale, through the real virtual-mesh path."""
