@@ -459,10 +459,14 @@ class IncrementalLCABuilder:
     from the last saved state + list of processed paths."""
 
     def __init__(self, tree: TaxTree, checkpoint_path: str | None = None,
-                 fold_every: int = 8):
+                 fold_every: int = 8, checkpoint_every_folds: int = 1):
         self.tree = tree
         self.checkpoint_path = checkpoint_path
         self.fold_every = fold_every
+        # at config-5 scale a checkpoint writes the full multi-GB state;
+        # space them out (the resume granularity is the trade-off)
+        self.checkpoint_every_folds = checkpoint_every_folds
+        self._folds_since_ckpt = 0
         self.keys = np.zeros(0, np.uint64)
         self.taxa = np.zeros(0, np.uint32)
         self.done: list = []
@@ -486,8 +490,12 @@ class IncrementalLCABuilder:
         self._since_fold += 1
         if self._since_fold >= self.fold_every:
             self.fold()
-            if self.checkpoint_path is not None:
+            self._folds_since_ckpt += 1
+            if (self.checkpoint_path is not None
+                    and self._folds_since_ckpt
+                    >= self.checkpoint_every_folds):
                 self.save_checkpoint()
+                self._folds_since_ckpt = 0
 
     def fold(self):
         if not self._buf_k:
@@ -514,6 +522,14 @@ class IncrementalLCABuilder:
         self.fold()
         return KmerTable(self.keys, self.taxa.astype(np.uint32))
 
+    def finish_arrays(self):
+        """(keys_sorted, taxa) WITHOUT building the probe table — the
+        config-5 scale path: a 10^9-key global cuckoo placement costs
+        tens of GB of transients for a structure the sharded savers /
+        per-rank loaders rebuild per shard anyway."""
+        self.fold()
+        return self.keys, self.taxa.astype(np.uint32)
+
 
 def lca_map(
     paths: Sequence[str],
@@ -526,13 +542,19 @@ def lca_map(
     use_device: bool = False,
     checkpoint_path: str | None = None,
     block: int = 1 << 22,
+    as_arrays: bool = False,
+    checkpoint_every_folds: int = 1,
 ) -> KmerTable:
     """Phase-2 classify DB: kmer -> LCA taxid (feature_min.h:178-183,
     205-228).  With checkpoint_path, the build streams genome-by-genome
-    and resumes after a crash."""
+    and resumes after a crash.  as_arrays=True returns the sorted
+    (keys, taxa) arrays without building the probe table (config-5
+    scale path; see finish_arrays)."""
     if isinstance(name_map, str):
         name_map = parse_nameid_map(name_map)
-    builder = IncrementalLCABuilder(tree, checkpoint_path)
+    builder = IncrementalLCABuilder(
+        tree, checkpoint_path, checkpoint_every_folds=checkpoint_every_folds
+    )
     pending = builder.pending(list(paths))
     # genome extraction farm (the reference's std::async fill_set_genome
     # pool, feature_min.h:93-171): the native kmer-set kernel releases
@@ -566,7 +588,7 @@ def lca_map(
                 nxt += 1
     if checkpoint_path is not None:
         builder.save_checkpoint()
-    return builder.finish()
+    return builder.finish_arrays() if as_arrays else builder.finish()
 
 
 def taxdepth_map(

@@ -304,6 +304,78 @@ def save_database_sharded(db: Database, dirpath: str, ndb: int,
         json.dump(manifest, fh, indent=1, sort_keys=True)
 
 
+def save_sharded_arrays(keys: np.ndarray, vals: np.ndarray, dirpath: str,
+                        ndb: int, k: int, w: int, gaps: List[int],
+                        canonicalize: bool = True, scheme: str = "lex",
+                        meta: Optional[dict] = None,
+                        place_check: bool = True) -> None:
+    """Streaming sharded save from sorted (keys, vals) arrays — the
+    config-5 scale path.  Unlike save_database_sharded it never builds a
+    GLOBAL cuckoo placement (a 10^9-key placement costs tens of GB of
+    transients for a structure per-rank loaders rebuild per shard), and
+    it negotiates the common bucket count by placing ONE shard at a time
+    and freeing it.  Output layout is identical to save_database_sharded
+    (same manifest, loadable by load_database_sharded /
+    ShardedClassifier.from_sharded_dir)."""
+    import os
+
+    from .table import MAX_LOAD, SLOTS, KmerTable, _next_pow2, shard_owner
+
+    os.makedirs(dirpath, exist_ok=True)
+    keys = np.asarray(keys, dtype=np.uint64)
+    vals = np.asarray(vals)
+    owner = shard_owner(keys, ndb)
+    shard_files, shard_n = [], []
+    counts = np.bincount(owner, minlength=ndb)
+    nb = max(
+        _next_pow2(int(np.ceil(max(int(counts.max()), 1)
+                               / (SLOTS * MAX_LOAD)))), 4
+    )
+    # placement feasibility at the common nb, one shard at a time (rare
+    # growth restarts the check at the larger nb; files are written once
+    # after the final nb is known)
+    if place_check:
+        s = 0
+        while s < ndb:
+            p = np.nonzero(owner == s)[0]
+            t = KmerTable(keys[p], vals[p], min_nb=nb)
+            if t.nb != nb:
+                nb = t.nb
+                s = 0
+                continue
+            del t
+            s += 1
+    for s in range(ndb):
+        p = np.nonzero(owner == s)[0]
+        header = dict(
+            k=k, w=w, gaps=list(gaps), canonicalize=bool(canonicalize),
+            scheme=scheme, n=int(p.size), val_dtype=str(vals.dtype),
+            meta=meta or {},
+        )
+        fn = f"shard-{s:05d}.btpu"
+        _write_native(os.path.join(dirpath, fn), header, keys[p], vals[p],
+                      None)
+        shard_files.append(fn)
+        shard_n.append(int(p.size))
+    uniq = np.unique(vals.astype(np.uint64))
+    np.save(os.path.join(dirpath, "uniq_vals.npy"), uniq)
+    manifest = dict(
+        format="bonsai-tpu-sharded-v1",
+        ndb=ndb,
+        n=int(keys.size),
+        nb=int(nb),
+        shard_n=shard_n,
+        k=k, w=w, gaps=list(gaps),
+        canonicalize=bool(canonicalize), scheme=scheme,
+        partition="splitmix64-prefix",
+        shards=shard_files,
+        uniq_vals="uniq_vals.npy",
+        meta=meta or {},
+    )
+    with open(os.path.join(dirpath, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+
+
 def load_database_sharded(dirpath: str,
                           ranks: Optional[List[int]] = None) -> Database:
     """Load a sharded DB directory (all shards, or only `ranks` — the

@@ -573,14 +573,24 @@ class ShardedClassifier:
         with open(os.path.join(dirpath, "manifest.json")) as fh:
             mf = json.load(fh)
         ndb = mesh.shape.get("db", 1)
-        if mf["ndb"] != ndb or ndb < 2:
-            # shard-count mismatch (or trivial mesh): merge-load instead
+        mfndb = mf["ndb"]
+        if ndb >= 2 and mfndb > ndb and mfndb % ndb == 0:
+            # more shard files than mesh ranks: each rank serves a GROUP
+            # of consecutive shard files.  Valid because shard_owner is a
+            # fixed-point RANGE partition of the hash prefix, so
+            # owner_at(ndb) == owner_at(mfndb) // group exactly — rank r
+            # owns precisely files [r*group, (r+1)*group).
+            group = mfndb // ndb
+        elif mfndb != ndb or ndb < 2:
+            # incompatible split (or trivial mesh): merge-load instead
             from ..db.formats import load_database_sharded
 
             return cls(load_database_sharded(dirpath), tree, mesh,
                        canonicalize, input_type,
                        capacity_factor=capacity_factor, emit_all=emit_all,
                        emit_kraken=emit_kraken, emit_fastq=emit_fastq)
+        else:
+            group = 1
         self = cls.__new__(cls)
         self.mesh = mesh
         self.tree = tree
@@ -613,7 +623,17 @@ class ShardedClassifier:
         # geometry must agree across processes without seeing foreign
         # shards: the saver negotiated (and recorded) the common bucket
         # count; older manifests fall back to deriving it from the counts
-        if "nb" in mf:
+        if group > 1:
+            # grouped ranks hold sums of consecutive shard counts — the
+            # common nb comes from the largest GROUP (deterministic
+            # across processes: shard_n is in the manifest)
+            sums = [
+                sum(mf["shard_n"][r * group:(r + 1) * group])
+                for r in range(ndb)
+            ]
+            nmax = max(max(sums), 1)
+            nb = max(_next_pow2(int(np.ceil(nmax / (SLOTS * MAX_LOAD)))), 4)
+        elif "nb" in mf:
             nb = int(mf["nb"])
         else:
             nmax = max(max(mf["shard_n"]), 1)
@@ -643,9 +663,21 @@ class ShardedClassifier:
             if s not in cache:
                 from ..db.formats import read_database_arrays
 
-                _, keys, vals = read_database_arrays(
-                    os.path.join(dirpath, mf["shards"][s])
-                )
+                ks, vs = [], []
+                for f in range(s * group, (s + 1) * group):
+                    _, kf, vf = read_database_arrays(
+                        os.path.join(dirpath, mf["shards"][f])
+                    )
+                    ks.append(kf)
+                    vs.append(vf)
+                if group == 1:
+                    keys, vals = ks[0], vs[0]
+                else:
+                    # files within a group interleave in key order
+                    keys = np.concatenate(ks)
+                    vals = np.concatenate(vs)
+                    order = np.argsort(keys, kind="stable")
+                    keys, vals = keys[order], vals[order]
                 tbl = KmerTable(keys, vals, min_nb=nb)
                 if tbl.nb != nb:
                     raise RuntimeError(

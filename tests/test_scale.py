@@ -40,6 +40,88 @@ def test_recommended_shards_policy():
         assert table_slot_bytes(-(-n // s)) <= 128 << 20 or s == 65536
 
 
+def test_save_sharded_arrays_equivalent(tmp_path):
+    """The streaming array saver (config-5 path, no global placement)
+    must produce a directory loadable exactly like save_database_sharded's
+    and with identical content."""
+    from bonsai_tpu.db.formats import load_database_sharded, save_sharded_arrays
+
+    rng = np.random.default_rng(3)
+    n = 50_000
+    keys = np.unique(rng.integers(0, 1 << 62, size=n + 500,
+                                  dtype=np.uint64))[:n]
+    vals = rng.integers(1, 50, size=n).astype(np.uint32)
+    db = Database(table=KmerTable(keys, vals), k=31, w=31, gaps=[0] * 30)
+    d1 = str(tmp_path / "via_db")
+    d2 = str(tmp_path / "via_arrays")
+    save_database_sharded(db, d1, ndb=4)
+    save_sharded_arrays(keys, vals, d2, ndb=4, k=31, w=31, gaps=[0] * 30)
+    a = load_database_sharded(d1)
+    b = load_database_sharded(d2)
+    np.testing.assert_array_equal(a.table.keys_sorted, b.table.keys_sorted)
+    np.testing.assert_array_equal(a.table.vals_sorted, b.table.vals_sorted)
+    import json
+
+    with open(f"{d2}/manifest.json") as fh:
+        mf = json.load(fh)
+    assert mf["ndb"] == 4 and sum(mf["shard_n"]) == n
+
+
+def test_from_sharded_dir_grouped_ranks(tmp_path):
+    """A sharded dir with MORE shard files than mesh 'db' ranks loads by
+    grouping consecutive files per rank (valid because the fixed-point
+    hash-prefix partition is hierarchical: owner_at(ndb) ==
+    owner_at(ndb*g) // g) and classifies identically to the
+    single-device classifier."""
+    import bonsai_tpu.io.fastx as fastx
+    from bonsai_tpu.classify import output as out_mod
+    from bonsai_tpu.classify.pipeline import Classifier
+    from bonsai_tpu.core.alphabet import DNA4
+    from bonsai_tpu.db.formats import save_sharded_arrays
+    from bonsai_tpu.parallel.mesh import make_mesh
+    from bonsai_tpu.parallel.sharded import ShardedClassifier
+
+    rng = np.random.default_rng(5)
+    Kk = 31
+    bases = np.array(list(b"ACGT"), dtype=np.uint8)
+    contig = bases[rng.integers(0, 4, 300_000)].tobytes()
+    from bonsai_tpu.core import bitops, encode as enc_mod
+
+    codes = DNA4.lut[np.frombuffer(contig, np.uint8)][None]
+    km, inv = enc_mod.pack_kmers(codes, Kk)
+    keys = np.unique(bitops.canonical(km[~inv], Kk))
+    vals = np.full(keys.size, 11, dtype=np.uint32)
+    vals[rng.random(keys.size) < 0.4] = 12
+    tree = TaxTree({1: 0, 2: 1, 11: 2, 12: 2})
+    db = Database(table=KmerTable(keys, vals), k=Kk, w=Kk, gaps=[0] * 30)
+
+    d = str(tmp_path / "sh8")
+    save_sharded_arrays(keys, vals, d, ndb=8, k=Kk, w=Kk, gaps=[0] * 30)
+
+    reads = []
+    for i in range(48):
+        s = int(rng.integers(0, len(contig) - 101))
+        reads.append(contig[s : s + 101])
+    rcodes = np.stack(
+        [DNA4.lut[np.frombuffer(r, np.uint8)] for r in reads]
+    ).astype(np.int8)
+    batch = fastx.ReadBatch(
+        names=[f"r{i}".encode() for i in range(48)], seqs=reads,
+        codes=rcodes, lengths=np.full(48, 101, np.int32),
+        quals=[None] * 48,
+    )
+    ref = out_mod.format_batch(
+        Classifier(db, tree).classify_batch(batch, full=True), Kk,
+        emit_all=True,
+    )
+    # 8 files over 2 db ranks (group=4) and over 4 db ranks (group=2)
+    for dbr in (2, 4):
+        mesh = make_mesh({"dp": 2, "db": dbr})
+        sc = ShardedClassifier.from_sharded_dir(d, tree, mesh)
+        res = sc._finish_batch(batch, sc._dispatch_batch(batch))
+        assert out_mod.format_batch(res, Kk, emit_all=True) == ref, dbr
+
+
 @pytest.mark.slow
 def test_table_at_32m_keys_probe_exact():
     """Quotient-cuckoo table at 32M keys (3x the ordinary test DBs, 537MB
