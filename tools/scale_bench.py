@@ -208,7 +208,7 @@ def do_shardprobe(ndb: int, rank: int = 0):
     import jax.numpy as jnp
 
     from bonsai_tpu.db.formats import read_database_arrays
-    from bonsai_tpu.db.table import KmerTable, probe_slots_device
+    from bonsai_tpu.db.table import SLOTS, KmerTable, probe_slots_device
 
     d = os.path.join(SCALE, f"db_shards{ndb}")
     with open(os.path.join(d, "manifest.json")) as fh:
@@ -252,7 +252,7 @@ def do_shardprobe(ndb: int, rank: int = 0):
                 ndb=ndb,
                 rank=rank,
                 keys=int(keys.size),
-                slots_mb=round(t.nb * 8 * 8 / 1e6, 1),
+                slots_mb=round(t.nb * SLOTS * 8 / 1e6, 1),
                 ns_per_probe=round(dt / n_steps / Q * 1e9, 2),
                 reads_per_s_equiv=round(B / (dt / n_steps), 1),
                 platform=jax.devices()[0].platform,
