@@ -125,7 +125,12 @@ def main(argv=None):
     )
     p.add_argument("db")
     p.add_argument("tax_path")
-    p.add_argument("out_dir")
+    p.add_argument("out_dir", nargs="?", default=None)
+    p.add_argument("--db-ranks", type=int, default=0,
+                   help="sharded-dir DBs: bake PER-RANK images for this "
+                        "mesh width (0 = one per shard file); images "
+                        "land inside the DB dir and from_sharded_dir "
+                        "picks them up automatically")
 
     p = sub.add_parser(
         "merge-parts",
@@ -584,11 +589,24 @@ def _cmd_prebuild(args):
 
 
 def _cmd_probe_image(args):
+    import os
+
     from .db.formats import load_database, save_probe_image
     from .taxonomy.tree import TaxTree
 
-    db = load_database(args.db)
     tree = TaxTree.from_nodes_dmp(args.tax_path)
+    if os.path.isdir(args.db) and os.path.exists(
+        os.path.join(args.db, "manifest.json")
+    ):
+        from .parallel.sharded import bake_rank_images
+
+        out = bake_rank_images(args.db, tree, args.db_ranks)
+        print(f"baked per-rank images under {out}", file=sys.stderr)
+        return 0
+    if not args.out_dir:
+        print("probe-image of a .btpu file needs OUT_DIR", file=sys.stderr)
+        return 2
+    db = load_database(args.db)
     save_probe_image(args.out_dir, db, tree)
     print(f"wrote probe image for {db.table.n} kmers to {args.out_dir}",
           file=sys.stderr)

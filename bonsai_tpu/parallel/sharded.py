@@ -658,11 +658,47 @@ class ShardedClassifier:
                     np.uint32
                 ).astype(np.uint64)
         cache = {}
+        # per-rank memory images (bake_rank_images): when a matching
+        # image dir exists, each rank mmaps its classify-ready slot
+        # words instead of re-sorting + re-placing its shard group —
+        # the pod analog of the single-chip probe image
+        # (util.h:281-372); stale geometry (different nb / dictionary
+        # mode) is ignored
+        from ..db import formats as _formats
+
+        img_dir = os.path.join(
+            dirpath, f"rankimg-db{ndb}-{_formats.tree_digest(tree)}"
+        )
+        img_ok = False
+        if os.path.exists(os.path.join(img_dir, "meta.json")):
+            import json as _json
+
+            with open(os.path.join(img_dir, "meta.json")) as fh:
+                im = _json.load(fh)
+            img_ok = (
+                im.get("nb") == nb
+                and im.get("inline") == (uniq_packed is not None)
+                and im.get("ndb") == ndb
+            )
+        self._rank_images_used = img_ok
 
         def shard_arrays(s: int):
             if s not in cache:
                 from ..db.formats import read_database_arrays
 
+                if img_ok:
+                    slots = np.load(
+                        os.path.join(img_dir, f"slots-{s:05d}.npy"),
+                        mmap_mode="r",
+                    )
+                    flat = None
+                    if uniq_packed is None:
+                        flat = np.load(
+                            os.path.join(img_dir, f"vals-{s:05d}.npy"),
+                            mmap_mode="r",
+                        )
+                    cache[s] = (slots, flat)
+                    return cache[s]
                 ks, vs = [], []
                 for f in range(s * group, (s + 1) * group):
                     _, kf, vf = read_database_arrays(
@@ -1057,6 +1093,107 @@ class ShardedClassifier:
             codes=batch.codes[a:b], lengths=batch.lengths[a:b],
             quals=batch.quals[a:b] if batch.quals else None,
         )
+
+
+def bake_rank_images(dirpath: str, tree, db_ranks: int = 0) -> str:
+    """Bake per-rank classify-ready memory images for a sharded DB dir:
+    for each 'db' rank of a db_ranks-wide mesh (default: one rank per
+    shard file), pre-compute the encoded slot words
+    from_sharded_dir would build and save them mmap-loadable under
+    ``dirpath/rankimg-db{N}-{tree_digest}/``.  Ranks then load by mmap +
+    upload with no sort/placement/encode work — the pod analog of the
+    single-chip probe image (util.h:281-372).  Geometry (group size,
+    common bucket count, dictionary mode) mirrors from_sharded_dir
+    exactly; a loader with different geometry ignores stale images."""
+    import json as _json
+
+    from ..db import formats as _formats
+    from ..db.formats import read_database_arrays
+    from ..db.table import MAX_LOAD, SLOTS, KmerTable, _next_pow2
+
+    with open(os.path.join(dirpath, "manifest.json")) as fh:
+        mf = _json.load(fh)
+    mfndb = mf["ndb"]
+    ndb = db_ranks or mfndb
+    if mfndb % ndb or mfndb < ndb:
+        raise ValueError(f"db_ranks {ndb} must divide shard count {mfndb}")
+    group = mfndb // ndb
+    if group > 1:
+        sums = [
+            sum(mf["shard_n"][r * group:(r + 1) * group])
+            for r in range(ndb)
+        ]
+        nmax = max(max(sums), 1)
+        nb = max(_next_pow2(int(np.ceil(nmax / (SLOTS * MAX_LOAD)))), 4)
+    elif "nb" in mf:
+        nb = int(mf["nb"])
+    else:
+        nmax = max(max(mf["shard_n"]), 1)
+        nb = max(_next_pow2(int(np.ceil(nmax / (SLOTS * MAX_LOAD)))), 4)
+    lgnb = int(np.log2(nb))
+    vbits = max(lgnb - 2, 0)
+    uniq_packed = None
+    uf = mf.get("uniq_vals")
+    if uf and os.path.exists(os.path.join(dirpath, uf)):
+        uv = np.load(os.path.join(dirpath, uf))
+        if uv.size and int(uv.max()) <= 0xFFFFFFFF and uv.size <= (
+            1 << vbits
+        ):
+            u32v = uv.astype(np.uint32)
+            uniq_packed = (
+                u32v.astype(np.uint64) << np.uint64(32)
+            ) | tree.compact(u32v, missing_ok=True).astype(
+                np.uint32
+            ).astype(np.uint64)
+    img_dir = os.path.join(
+        dirpath, f"rankimg-db{ndb}-{_formats.tree_digest(tree)}"
+    )
+    os.makedirs(img_dir, exist_ok=True)
+    for s in range(ndb):
+        ks, vs = [], []
+        for f in range(s * group, (s + 1) * group):
+            _, kf, vf = read_database_arrays(
+                os.path.join(dirpath, mf["shards"][f])
+            )
+            ks.append(kf)
+            vs.append(vf)
+        if group == 1:
+            keys, vals = ks[0], vs[0]
+        else:
+            keys = np.concatenate(ks)
+            vals = np.concatenate(vs)
+            order = np.argsort(keys, kind="stable")
+            keys, vals = keys[order], vals[order]
+        tbl = KmerTable(keys, vals, min_nb=nb)
+        if tbl.nb != nb:
+            raise RuntimeError(
+                f"rank {s} required bucket growth ({tbl.nb} != {nb})"
+            )
+        packed = (
+            vals.astype(np.uint64) << np.uint64(32)
+        ) | tree.compact(vals, missing_ok=True).astype(
+            np.uint32
+        ).astype(np.uint64)
+        if uniq_packed is not None:
+            slots, _, inline = tbl._encode_slots(packed, uniq=uniq_packed)
+            assert inline
+            np.save(os.path.join(img_dir, f"slots-{s:05d}.npy"), slots)
+        else:
+            slots, flat, inline = tbl._encode_slots(
+                packed, allow_inline=False
+            )
+            assert not inline
+            np.save(os.path.join(img_dir, f"slots-{s:05d}.npy"), slots)
+            np.save(os.path.join(img_dir, f"vals-{s:05d}.npy"),
+                    np.asarray(flat))
+    with open(os.path.join(img_dir, "meta.json"), "w") as fh:
+        _json.dump(
+            dict(format="btpu-rank-images", version=1, ndb=ndb, nb=nb,
+                 inline=uniq_packed is not None,
+                 tree_digest=_formats.tree_digest(tree)),
+            fh,
+        )
+    return img_dir
 
 
 def merge_distributed_output(out_dir: str, out_fh) -> int:

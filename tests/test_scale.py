@@ -122,6 +122,71 @@ def test_from_sharded_dir_grouped_ranks(tmp_path):
         assert out_mod.format_batch(res, Kk, emit_all=True) == ref, dbr
 
 
+def test_rank_images_parity(tmp_path):
+    """Per-rank memory images (bake_rank_images): from_sharded_dir must
+    take the mmap path (no per-rank sort/place/encode) and classify
+    byte-identically to the image-less load, at both the native width
+    and a grouped width."""
+    import bonsai_tpu.io.fastx as fastx
+    from bonsai_tpu.classify import output as out_mod
+    from bonsai_tpu.core import bitops, encode as enc_mod
+    from bonsai_tpu.core.alphabet import DNA4
+    from bonsai_tpu.db.formats import save_sharded_arrays
+    from bonsai_tpu.parallel.mesh import make_mesh
+    from bonsai_tpu.parallel.sharded import (
+        ShardedClassifier,
+        bake_rank_images,
+    )
+
+    rng = np.random.default_rng(9)
+    Kk = 31
+    bases = np.array(list(b"ACGT"), dtype=np.uint8)
+    contig = bases[rng.integers(0, 4, 200_000)].tobytes()
+    codes = DNA4.lut[np.frombuffer(contig, np.uint8)][None]
+    km, inv = enc_mod.pack_kmers(codes, Kk)
+    keys = np.unique(bitops.canonical(km[~inv], Kk))
+    vals = np.full(keys.size, 11, dtype=np.uint32)
+    vals[rng.random(keys.size) < 0.5] = 12
+    tree = TaxTree({1: 0, 2: 1, 11: 2, 12: 2})
+    d = str(tmp_path / "sh4")
+    save_sharded_arrays(keys, vals, d, ndb=4, k=Kk, w=Kk, gaps=[0] * 30)
+
+    reads = []
+    for i in range(32):
+        s = int(rng.integers(0, len(contig) - 101))
+        reads.append(contig[s : s + 101])
+    rcodes = np.stack(
+        [DNA4.lut[np.frombuffer(r, np.uint8)] for r in reads]
+    ).astype(np.int8)
+    batch = fastx.ReadBatch(
+        names=[f"r{i}".encode() for i in range(32)], seqs=reads,
+        codes=rcodes, lengths=np.full(32, 101, np.int32),
+        quals=[None] * 32,
+    )
+
+    for dbr in (4, 2):
+        mesh = make_mesh({"dp": 2, "db": dbr})
+        sc0 = ShardedClassifier.from_sharded_dir(d, tree, mesh)
+        assert sc0._rank_images_used is False
+        ref = out_mod.format_batch(
+            sc0._finish_batch(batch, sc0._dispatch_batch(batch)), Kk,
+            emit_all=True,
+        )
+        bake_rank_images(d, tree, dbr)
+        sc1 = ShardedClassifier.from_sharded_dir(d, tree, mesh)
+        assert sc1._rank_images_used is True
+        got = out_mod.format_batch(
+            sc1._finish_batch(batch, sc1._dispatch_batch(batch)), Kk,
+            emit_all=True,
+        )
+        assert got == ref, dbr
+    # wrong tree -> stale digest -> images ignored, classify still works
+    other = TaxTree({1: 0, 2: 1, 11: 2, 12: 2, 13: 2})
+    mesh = make_mesh({"dp": 2, "db": 4})
+    sc2 = ShardedClassifier.from_sharded_dir(d, other, mesh)
+    assert sc2._rank_images_used is False
+
+
 @pytest.mark.slow
 def test_table_at_32m_keys_probe_exact():
     """Quotient-cuckoo table at 32M keys (3x the ordinary test DBs, 537MB
