@@ -17,10 +17,19 @@ response gather + merge.  Variants isolate where the time goes:
   v2direct    — v2 with the response delivered by scattering `back`
                 directly to query positions (no slotq, no response
                 gather; pays a second DUMP scatter for `newly`)
+  v3          — v2 with a u32 sort key (owner<<27|iota) — measured
+                SLOWER than the u64 dual sort (XLA pads mixed-width
+                operand sorts); kept as the negative result
+  v5          — v2 + the two DUMP gathers fused into ONE (Q,2) row
+                gather, maskless send, concat-free response merge —
+                THE PRODUCTION FORMULATION since round 5 (41 ns/q)
+  v5send      — v5 cut after the send build (send-side component cost)
+  sort2only   — dual-operand (key, kq) sort floor
+  sort32only  — (u32 key, u64 kq) sort floor (negative result)
   noscatter   — slotq scatter replaced by a same-size gather (LOWER
                 BOUND on what removing the last scatter could buy; not
                 a correct program, timing only)
-  sortonly    — just the key build + sort (the irreducible floor)
+  sortonly    — just the key build + single-operand sort floor
 
 Run under `timeout`; every shape compiles the same production ops that
 already compile cleanly on the tunnel (PERF.md trap #5: no one-hot
