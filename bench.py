@@ -570,13 +570,19 @@ def stage_sustained():
     sustain_passes = int(os.environ.get("BENCH_SUSTAIN_PASSES", 100))
     batch = int(os.environ.get("BENCH_CLI_BATCH", "8192").split(",")[0])
     img = os.path.join(CACHE, f"ec_k{K}.image")
+    clf = None
     if os.path.exists(os.path.join(img, "meta.json")):
         sys.path.insert(0, REPO)
         from bonsai_tpu.classify.pipeline import Classifier
         from bonsai_tpu.taxonomy.tree import TaxTree
 
         tree = TaxTree({1: 0, 2: 1, 11: 2, 12: 2, 13: 2, 14: 2, 15: 2})
-        clf = Classifier.from_probe_image(img, tree, emit_all=True)
+        try:
+            clf = Classifier.from_probe_image(img, tree, emit_all=True)
+        except Exception as e:  # stale/corrupt image: table path instead
+            print(f"# probe image unusable ({e!r:.80}); table path",
+                  file=sys.stderr)
+    if clf is not None:
         rps, rss_mb = sustained_stream(
             None, tree, sustain_passes, batch, clf=clf
         )
