@@ -54,6 +54,42 @@ def test_build_and_classify_and_hist(taxfiles, capsys):
     assert "\n13\t" in cap.out
 
 
+def test_probe_image_cli(taxfiles, tmp_path):
+    """`probe-image` on a .btpu bakes a classify-ready image dir that
+    `classify` consumes byte-identically; on a sharded DB dir it bakes
+    per-rank images that the sharded loader consumes transparently."""
+    nodes, nameid, d = taxfiles
+    dbp = os.path.join(d, "phix.btpu")
+    if not os.path.exists(dbp):
+        assert main(["build", dbp, PHIX, "-k", "25", "-T", nodes,
+                     "-M", nameid]) == 0
+    seq = b"".join(s for _, s, _ in fastx.read_fastx(PHIX))
+    reads = str(tmp_path / "reads.fa")
+    with open(reads, "w") as fh:
+        for i in range(16):
+            fh.write(f">r{i}\n{seq[i*53:(i*53)+90].decode()}\n")
+    a = str(tmp_path / "a.tsv")
+    assert main(["classify", dbp, nodes, reads, "-o", a, "-a"]) == 0
+    img = str(tmp_path / "img")
+    assert main(["probe-image", dbp, nodes, img]) == 0
+    b = str(tmp_path / "b.tsv")
+    assert main(["classify", img, nodes, reads, "-o", b, "-a"]) == 0
+    assert open(a).read() == open(b).read()
+
+    shd = str(tmp_path / "shards")
+    assert main(["build", shd, PHIX, "-k", "25", "-T", nodes,
+                 "-M", nameid, "--shards", "2"]) == 0
+    assert main(["probe-image", shd, nodes]) == 0
+    assert os.path.exists(
+        [os.path.join(shd, f) for f in os.listdir(shd)
+         if f.startswith("rankimg-")][0] + "/meta.json"
+    )
+    c = str(tmp_path / "c.tsv")
+    assert main(["classify", shd, nodes, reads, "-o", c, "-a",
+                 "--db-shards", "2"]) == 0
+    assert open(a).read() == open(c).read()
+
+
 def test_lca_cli(taxfiles, capsys):
     nodes, _, _ = taxfiles
     assert main(["lca", nodes, "13", "2"]) == 0
