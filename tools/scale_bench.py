@@ -13,8 +13,17 @@ probe [--sizes 10,20,40,80]     REAL-CHIP probe-step sweep vs table size
                                 (millions of keys) — measures the gather
                                 cliff the shard-size policy encodes
 classify [--ndb K]              virtual-mesh from_sharded_dir classify of
-                                synthetic reads against the built DB;
-                                checks agreement vs direct table probes
+  [--db-ranks R]                synthetic reads against the built DB
+  [--stream-reads N]            (grouped ranks when R < K); checks
+                                agreement vs direct table probes; with
+                                --stream-reads also runs a full
+                                process_dataset stream of N reads
+rankload --ndb K [--rank S]     per-rank load cost of one shard (read +
+                                place + encode — what from_sharded_dir
+                                does per 'db' rank)
+shardprobe --ndb K [--rank S]   REAL-CHIP chained probe of one shard of
+                                the built DB (per-chip cost at the
+                                policy shard size)
 
 All outputs print one JSON line per measurement (PERF.md rows).
 """
