@@ -671,7 +671,7 @@ def main():
     pe_pct = paired_golden_identical()
     print(f"# paired golden identical lines: {pe_pct}%", file=sys.stderr)
 
-    r = _run_stage("sustained", timeout_s=1500)
+    r = _run_stage("sustained", timeout_s=900)
     if r is not None and (
         r["sus_rps"] < 0.5 * cli_rps or r["rss_mb"] > 1200
     ):
@@ -683,7 +683,7 @@ def main():
             f"{r['rss_mb']:,.0f} MB); retrying fresh process",
             file=sys.stderr,
         )
-        r2 = _run_stage("sustained", timeout_s=1500)
+        r2 = _run_stage("sustained", timeout_s=900)
         if r2 is not None and r2["sus_rps"] > r["sus_rps"]:
             r = r2
     if r is None:
@@ -691,7 +691,7 @@ def main():
         # budget (observed: multi-minute stalls that clear on their
         # own); one more fresh process before giving up on isolation
         print("# sustained: retrying fresh process once", file=sys.stderr)
-        r = _run_stage("sustained", timeout_s=1500)
+        r = _run_stage("sustained", timeout_s=900)
     sustained_isolated = r is not None
     if r is None:  # in-process fallback: throughput only — ru_maxrss
         # here is the whole bench's lifetime high-water, not the
